@@ -1,0 +1,341 @@
+"""Public API: ``einsum`` / ``array_contract`` drop-ins with cached,
+jit-compiled expressions.
+
+Mirrors the reference interface layer (``cotengra/interface.py``):
+
+- ``array_contract{,_path,_tree,_expression}`` over arbitrary hashable
+  index labels,
+- ``einsum{,_tree,_expression}`` over string equations (incl. ellipsis and
+  interleaved arguments),
+- ``optimize=`` dispatch by type: preset string | PathOptimizer |
+  explicit path | ContractionTree,
+- two global content-hash caches: path-level and compiled-expression-level,
+  so repeated contractions hit a compiled HLO cache immediately.
+"""
+
+import functools
+import threading
+
+from .tree import ContractionTree
+from .utils.eqs import (
+    canonicalize_inputs,
+    eq_to_inputs_output,
+    hash_contraction,
+    parse_einsum_input,
+)
+
+_PRESETS = {}
+_PRESETS_TREE = {}
+
+
+def register_preset(preset, optimizer, optimizer_tree=None, register_opt_einsum=False):
+    """Register a preset name (or names) -> optimizer function mapping.
+
+    ``optimizer(inputs, output, size_dict)`` should return a path;
+    ``optimizer_tree`` (optional) should return a ContractionTree directly.
+    """
+    if isinstance(preset, str):
+        preset = (preset,)
+    for p in preset:
+        if optimizer is not None:
+            _PRESETS[p] = optimizer
+        if optimizer_tree is not None:
+            _PRESETS_TREE[p] = optimizer_tree
+    if register_opt_einsum:
+        try:
+            import opt_einsum
+
+            for p in preset:
+                opt_einsum.paths.register_path_fn(
+                    p, _oe_wrap(optimizer)
+                )
+        except (ImportError, KeyError):
+            pass
+
+
+def _oe_wrap(optimizer):
+    def fn(input_sets, output_set, idx_dict, memory_limit=None):
+        inputs = tuple(map(tuple, input_sets))
+        return optimizer(inputs, tuple(output_set), idx_dict)
+
+    return fn
+
+
+def list_presets():
+    return sorted(set(_PRESETS) | set(_PRESETS_TREE))
+
+
+def preset_to_optimizer(preset):
+    """Resolve a preset string (stripping any ``'name:{kwargs}'`` suffix is
+    not supported - use functools.partial when registering instead).
+    """
+    try:
+        return _PRESETS[preset]
+    except KeyError:
+        raise KeyError(
+            f"Unknown optimize preset {preset!r}, "
+            f"valid presets: {list_presets()}"
+        ) from None
+
+
+# -- optimize dispatch ----------------------------------------------------------
+
+
+def _is_path(optimize):
+    return (
+        isinstance(optimize, (tuple, list))
+        and len(optimize) > 0
+        and isinstance(optimize[0], (tuple, list))
+    )
+
+
+def find_tree(inputs, output, size_dict, optimize="auto", objective=None):
+    """Get a ContractionTree for the given contraction, dispatching on the
+    type of ``optimize``.
+    """
+    if isinstance(optimize, ContractionTree):
+        return optimize
+
+    if isinstance(optimize, str):
+        if optimize in _PRESETS_TREE:
+            return _PRESETS_TREE[optimize](inputs, output, size_dict)
+        opt = preset_to_optimizer(optimize)
+        result = opt(inputs, output, size_dict)
+        if isinstance(result, ContractionTree):
+            return result
+        return ContractionTree.from_path(
+            inputs, output, size_dict, path=result
+        )
+
+    if _is_path(optimize):
+        return ContractionTree.from_path(
+            inputs, output, size_dict, path=optimize
+        )
+
+    # a PathOptimizer-like object or plain function
+    if hasattr(optimize, "search"):
+        return optimize.search(inputs, output, size_dict)
+    result = optimize(inputs, output, size_dict)
+    if isinstance(result, ContractionTree):
+        return result
+    return ContractionTree.from_path(inputs, output, size_dict, path=result)
+
+
+def find_path(inputs, output, size_dict, optimize="auto"):
+    """Get a linear contraction path."""
+    if _is_path(optimize):
+        return tuple(map(tuple, optimize))
+    if isinstance(optimize, ContractionTree):
+        return optimize.get_path()
+    if isinstance(optimize, str):
+        if optimize in _PRESETS_TREE and optimize not in _PRESETS:
+            return _PRESETS_TREE[optimize](
+                inputs, output, size_dict
+            ).get_path()
+        opt = preset_to_optimizer(optimize)
+        result = opt(inputs, output, size_dict)
+    elif hasattr(optimize, "__call__"):
+        result = optimize(inputs, output, size_dict)
+    else:
+        raise TypeError(f"Can't interpret optimize={optimize!r}")
+    if isinstance(result, ContractionTree):
+        return result.get_path()
+    return tuple(map(tuple, result))
+
+
+# -- caches ----------------------------------------------------------------------
+
+_PATH_CACHE = {}
+_TREE_CACHE = {}
+_EXPR_CACHE = {}
+_CACHE_LOCK = threading.Lock()
+
+
+def clear_caches():
+    with _CACHE_LOCK:
+        _PATH_CACHE.clear()
+        _TREE_CACHE.clear()
+        _EXPR_CACHE.clear()
+
+
+def _cacheable_optimize(optimize):
+    return isinstance(optimize, str)
+
+
+# -- array_contract family ---------------------------------------------------------
+
+
+def array_contract_path(
+    inputs, output=None, size_dict=None, shapes=None, optimize="auto",
+    canonicalize=True, cache=True,
+):
+    """Find a contraction path for arbitrary hashable index labels."""
+    c_inputs, c_output, c_size_dict, symmap = canonicalize_inputs(
+        inputs, output, shapes=shapes, size_dict=size_dict
+    )
+    if cache and _cacheable_optimize(optimize):
+        key = hash_contraction(
+            c_inputs, c_output, c_size_dict, optimize=optimize
+        )
+        with _CACHE_LOCK:
+            hit = _PATH_CACHE.get(key)
+        if hit is not None:
+            return hit
+        path = find_path(c_inputs, c_output, c_size_dict, optimize)
+        with _CACHE_LOCK:
+            _PATH_CACHE[key] = path
+        return path
+    return find_path(c_inputs, c_output, c_size_dict, optimize)
+
+
+def array_contract_tree(
+    inputs, output=None, size_dict=None, shapes=None, optimize="auto",
+    canonicalize=True, sort_contraction_indices=False,
+):
+    """Get a ContractionTree for arbitrary hashable index labels."""
+    if canonicalize:
+        c_inputs, c_output, c_size_dict, _ = canonicalize_inputs(
+            inputs, output, shapes=shapes, size_dict=size_dict
+        )
+    else:
+        c_inputs, c_output = tuple(map(tuple, inputs)), tuple(output)
+        c_size_dict = size_dict
+    return find_tree(c_inputs, c_output, c_size_dict, optimize)
+
+
+class Expression:
+    """A compiled, reusable contraction expression."""
+
+    __slots__ = ("tree", "_kwargs", "__weakref__")
+
+    def __init__(self, tree, **kwargs):
+        self.tree = tree
+        self._kwargs = kwargs
+
+    def __call__(self, *arrays, **kwargs):
+        opts = {**self._kwargs, **kwargs}
+        opts.pop("backend", None)  # jax is the only backend
+        return self.tree.contract(arrays, **opts)
+
+    def __repr__(self):
+        return f"<Expression(N={self.tree.N})>"
+
+
+def array_contract_expression(
+    inputs,
+    output=None,
+    size_dict=None,
+    shapes=None,
+    optimize="auto",
+    cache=True,
+    **kwargs,
+):
+    """Get a reusable compiled expression ``expr(*arrays)``."""
+    c_inputs, c_output, c_size_dict, _ = canonicalize_inputs(
+        inputs, output, shapes=shapes, size_dict=size_dict
+    )
+    if cache and _cacheable_optimize(optimize):
+        key = hash_contraction(
+            c_inputs,
+            c_output,
+            c_size_dict,
+            optimize=optimize,
+            **{k: repr(v) for k, v in kwargs.items()},
+        )
+        with _CACHE_LOCK:
+            hit = _EXPR_CACHE.get(key)
+        if hit is not None:
+            return hit
+        expr = _build_expression(
+            c_inputs, c_output, c_size_dict, optimize, **kwargs
+        )
+        with _CACHE_LOCK:
+            _EXPR_CACHE[key] = expr
+        return expr
+    return _build_expression(
+        c_inputs, c_output, c_size_dict, optimize, **kwargs
+    )
+
+
+def _build_expression(inputs, output, size_dict, optimize, **kwargs):
+    tree = find_tree(inputs, output, size_dict, optimize)
+    return Expression(tree, **kwargs)
+
+
+def array_contract(
+    arrays,
+    inputs,
+    output=None,
+    optimize="auto",
+    cache_expression=True,
+    **kwargs,
+):
+    """Contract ``arrays`` described by (hashable) ``inputs`` / ``output``
+    index labels.
+    """
+    shapes = tuple(getattr(a, "shape", ()) for a in arrays)
+    expr = array_contract_expression(
+        inputs,
+        output,
+        shapes=shapes,
+        optimize=optimize,
+        cache=cache_expression,
+        **kwargs,
+    )
+    return expr(*arrays)
+
+
+# -- einsum family -------------------------------------------------------------------
+
+
+def einsum_tree(*args, optimize="auto", shapes=False, **kwargs):
+    """Get the ContractionTree for an einsum equation (string or
+    interleaved format).
+    """
+    eq, arrays = parse_einsum_input(args, shapes=shapes)
+    inputs, output = eq_to_inputs_output(eq)
+    if shapes:
+        shps = arrays
+    else:
+        shps = tuple(getattr(a, "shape", ()) for a in arrays)
+    return array_contract_tree(
+        inputs, output, shapes=shps, optimize=optimize, **kwargs
+    )
+
+
+def einsum_expression(*args, optimize="auto", shapes=True, **kwargs):
+    """Get a reusable compiled einsum expression from an equation and
+    shapes.
+    """
+    eq, shps = parse_einsum_input(args, shapes=shapes)
+    inputs, output = eq_to_inputs_output(eq)
+    return array_contract_expression(
+        inputs, output, shapes=shps, optimize=optimize, **kwargs
+    )
+
+
+def einsum(*args, optimize="auto", **kwargs):
+    """Drop-in ``einsum`` with hyper-optimized planning and jit-compiled
+    TPU execution. Supports string equations (with ellipsis) and
+    interleaved-argument format.
+    """
+    eq, arrays = parse_einsum_input(args)
+    inputs, output = eq_to_inputs_output(eq)
+    return array_contract(
+        arrays, inputs, output, optimize=optimize, **kwargs
+    )
+
+
+def ncon(arrays, indices, optimize="auto", **kwargs):
+    """ncon-style contraction: positive integer labels are contracted,
+    negative labels are outputs ordered ``-1, -2, ...``.
+    """
+    inputs = tuple(tuple(term) for term in indices)
+    neg = sorted(
+        {ix for term in inputs for ix in term if isinstance(ix, int) and ix < 0},
+        reverse=True,
+    )
+    output = tuple(neg)
+    return array_contract(
+        arrays, inputs, output, optimize=optimize, **kwargs
+    )

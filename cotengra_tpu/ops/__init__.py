@@ -1,0 +1,25 @@
+from .executor import (
+    contract_core,
+    contract_slice,
+    contract_tree,
+    gather_slices,
+    make_contractor,
+    make_full_contractor,
+    slice_arrays,
+)
+from .lowering import ContractionIR, extract_contractions
+from .pairwise import apply_pairwise, apply_single
+
+__all__ = [
+    "apply_pairwise",
+    "apply_single",
+    "contract_core",
+    "contract_slice",
+    "contract_tree",
+    "ContractionIR",
+    "extract_contractions",
+    "gather_slices",
+    "make_contractor",
+    "make_full_contractor",
+    "slice_arrays",
+]

@@ -1,0 +1,125 @@
+"""The two primitive array operations of the execution engine.
+
+- ``apply_single``: single-term einsum (diag / trace / sum / transpose),
+  arising from leaf preprocessing.
+- ``apply_pairwise``: pairwise contraction lowered directly to
+  ``jax.lax.dot_general`` with batch/contract dimension numbers - the
+  TPU-native replacement for the reference's transpose+reshape+BMM pipeline
+  (``cotengra/contract.py:167-329``): the MXU consumes dot_general natively
+  and XLA fuses any residual transposes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.symbols import get_symbol
+
+
+@functools.lru_cache(maxsize=2**14)
+def _single_eq(in_legs, out_legs):
+    symmap = {}
+    for ix in in_legs:
+        if ix not in symmap:
+            symmap[ix] = get_symbol(len(symmap))
+    lhs = "".join(symmap[ix] for ix in in_legs)
+    rhs = "".join(symmap[ix] for ix in out_legs)
+    return f"{lhs}->{rhs}"
+
+
+def apply_single(x, in_legs, out_legs):
+    """Apply a single-term operation: diagonals for repeated indices, sums
+    over removed indices, and transposition into ``out_legs`` order.
+    """
+    return jnp.einsum(_single_eq(in_legs, out_legs), x)
+
+
+@functools.lru_cache(maxsize=2**14)
+def _pair_plan(l_legs, r_legs, out_legs):
+    """Precompute dot_general dimension numbers and the output permutation
+    for a pairwise contraction. Cached on the legs signature.
+
+    Returns
+    -------
+    l_sum : tuple[int]   axes of x to pre-sum (defensive, usually empty)
+    r_sum : tuple[int]   axes of y to pre-sum
+    dimension_numbers : ((lc, rc), (lb, rb))
+    perm : tuple[int] or None
+        Permutation taking dot_general's output to ``out_legs`` order.
+    """
+    out_set = set(out_legs)
+    l_set, r_set = set(l_legs), set(r_legs)
+    shared = l_set & r_set
+
+    # defensive: indices on one side only that aren't kept must be summed
+    l_sum = tuple(
+        i
+        for i, ix in enumerate(l_legs)
+        if ix not in shared and ix not in out_set
+    )
+    r_sum = tuple(
+        i
+        for i, ix in enumerate(r_legs)
+        if ix not in shared and ix not in out_set
+    )
+    l_eff = tuple(
+        ix for ix in l_legs if (ix in shared) or (ix in out_set)
+    )
+    r_eff = tuple(
+        ix for ix in r_legs if (ix in shared) or (ix in out_set)
+    )
+
+    batch = tuple(ix for ix in l_eff if ix in shared and ix in out_set)
+    contract = tuple(
+        ix for ix in l_eff if ix in shared and ix not in out_set
+    )
+    lb = tuple(l_eff.index(ix) for ix in batch)
+    rb = tuple(r_eff.index(ix) for ix in batch)
+    lc = tuple(l_eff.index(ix) for ix in contract)
+    rc = tuple(r_eff.index(ix) for ix in contract)
+
+    l_free = tuple(
+        ix for ix in l_eff if ix not in shared
+    )
+    r_free = tuple(
+        ix for ix in r_eff if ix not in shared
+    )
+    computed = batch + l_free + r_free
+    if computed == tuple(out_legs):
+        perm = None
+    else:
+        perm = tuple(computed.index(ix) for ix in out_legs)
+
+    return l_sum, r_sum, ((lc, rc), (lb, rb)), perm
+
+
+def apply_pairwise(
+    x,
+    y,
+    l_legs,
+    r_legs,
+    out_legs,
+    precision=None,
+    preferred_element_type=None,
+):
+    """Contract two tensors: ``out_legs`` determines which shared indices
+    are batch (kept) vs contracted (summed).
+    """
+    l_sum, r_sum, dnums, perm = _pair_plan(
+        tuple(l_legs), tuple(r_legs), tuple(out_legs)
+    )
+    if l_sum:
+        x = jnp.sum(x, axis=l_sum)
+    if r_sum:
+        y = jnp.sum(y, axis=r_sum)
+    out = jax.lax.dot_general(
+        x,
+        y,
+        dimension_numbers=dnums,
+        precision=precision,
+        preferred_element_type=preferred_element_type,
+    )
+    if perm is not None:
+        out = jnp.transpose(out, perm)
+    return out

@@ -1,0 +1,161 @@
+"""Host-side executor abstraction for search parallelism.
+
+The planning search (hyper-optimizer trials, random-greedy batches, forest
+reconfiguration) is combinatorial CPU work and stays on the host - this
+module provides the pool plumbing, mirroring the capabilities of reference
+``cotengra/parallel.py``: a single ``parse_parallel_arg`` accepting
+``False | True | int | "auto" | "threads" | "processes" |
+concurrent.futures.Executor``, cached pool creation, ``submit``/``scatter``
+helpers, and a worker-process guard preventing recursive pool explosion
+(reference ``parallel.py:34-47,163-182,242-252``).
+
+TPU *execution* parallelism does NOT go through here - sliced contraction is
+sharded over the device mesh via ``pjit``/``shard_map``
+(see ``cotengra_tpu.parallel.mesh``).
+"""
+
+import functools
+import os
+
+_IS_WORKER = False
+_POOL_PID = None
+_CACHED_POOLS = {}
+
+
+def get_num_workers():
+    """Default worker count: ``COTENGRA_NUM_WORKERS`` or cpu count."""
+    env = os.environ.get("COTENGRA_NUM_WORKERS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 1
+
+
+def _mark_worker():
+    global _IS_WORKER
+    _IS_WORKER = True
+
+
+def is_worker_process():
+    return _IS_WORKER
+
+
+def _check_pid():
+    """Invalidate cached pools after a fork."""
+    global _POOL_PID
+    pid = os.getpid()
+    if _POOL_PID is None:
+        _POOL_PID = pid
+    elif _POOL_PID != pid:
+        _CACHED_POOLS.clear()
+        _POOL_PID = pid
+
+
+def _make_process_pool(n):
+    from concurrent.futures import ProcessPoolExecutor
+
+    pool = ProcessPoolExecutor(
+        max_workers=n, initializer=_mark_worker
+    )
+    return pool
+
+
+def _make_thread_pool(n):
+    from concurrent.futures import ThreadPoolExecutor
+
+    return ThreadPoolExecutor(max_workers=n)
+
+
+def parse_parallel_arg(parallel):
+    """Resolve a ``parallel`` argument into an executor pool or None.
+
+    - ``False``/``None`` -> None (serial)
+    - ``True`` / ``"auto"`` -> cached process pool with default workers
+    - int -> cached process pool of that many workers
+    - ``"threads"`` / ``"threads:N"`` -> cached thread pool
+    - ``"processes"`` / ``"processes:N"`` -> cached process pool
+    - an object with ``submit`` -> used directly
+    """
+    if parallel is False or parallel is None:
+        return None
+
+    if is_worker_process():
+        # never auto-create nested pools inside workers
+        return None
+
+    _check_pid()
+
+    if parallel is True or parallel == "auto":
+        key = ("processes", get_num_workers())
+    elif isinstance(parallel, int):
+        key = ("processes", parallel)
+    elif isinstance(parallel, str):
+        name, _, nstr = parallel.partition(":")
+        n = int(nstr) if nstr else get_num_workers()
+        if name in ("threads", "thread"):
+            key = ("threads", n)
+        elif name in ("processes", "process", "concurrent.futures"):
+            key = ("processes", n)
+        else:
+            raise ValueError(f"Unknown parallel backend {parallel!r}.")
+    elif hasattr(parallel, "submit"):
+        return parallel
+    else:
+        raise ValueError(f"Can't interpret parallel={parallel!r}.")
+
+    try:
+        pool = _CACHED_POOLS[key]
+    except KeyError:
+        kind, n = key
+        if kind == "threads":
+            pool = _make_thread_pool(n)
+        else:
+            pool = _make_process_pool(n)
+        _CACHED_POOLS[key] = pool
+    return pool
+
+
+def set_parallel_backend(parallel):
+    """Eagerly create and return the default pool."""
+    return parse_parallel_arg(parallel)
+
+
+def get_pool_size(pool):
+    n = getattr(pool, "_max_workers", None)
+    if n is None:
+        n = get_num_workers()
+    return n
+
+
+def submit(pool, fn, *args, **kwargs):
+    """Submit a job to any supported pool type."""
+    return pool.submit(fn, *args, **kwargs)
+
+
+def can_scatter(pool):
+    """Whether the pool supports pre-scattering large objects (only
+    distributed pools like dask/ray do - local pools don't need it).
+    """
+    return hasattr(pool, "scatter")
+
+
+def scatter(pool, data):
+    if can_scatter(pool):
+        return pool.scatter(data)
+    return data
+
+
+def should_nest(pool):
+    """Whether nested parallelism inside a trial is sensible (only for
+    pools whose workers can themselves reach a scheduler).
+    """
+    return False
+
+
+def maybe_leave_pool(pool):
+    """Hook for schedulers that support seceding a worker (dask). No-op for
+    local pools."""
+    return None
+
+
+def maybe_rejoin_pool(pool, token):
+    return None
