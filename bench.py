@@ -1,0 +1,142 @@
+"""Benchmark: Sycamore-like random-circuit amplitude contraction on TPU.
+
+Plans a 53-qubit depth-``m`` amplitude tensor network with the in-house
+pathfinders (random-greedy + subtree reconfiguration), slices it to fit
+memory, contracts a batch of slices on the device, and reports the
+effective contraction rate in TFLOP/s (complex flops convention: 4x the
+scalar-op count, matching reference ``core.py:1219``).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline is the fraction of the north-star target (60% of bf16 matmul
+speed-of-light per chip, BASELINE.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def detect_sol_tflops():
+    """bf16 matmul speed-of-light of the attached chip."""
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5p")
+    table = {"v4": 275.0, "v5e": 197.0, "v5p": 459.0, "v6e": 918.0}
+    return table.get(gen, 459.0), gen
+
+
+def main():
+    t_start = time.time()
+    import jax
+
+    # persistent compilation cache: the axon/TPU compiler is slow for
+    # many-small-op programs (~40x CPU); repeated bench runs hit the cache
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from cotengra_tpu.models.circuits import rand_circuit_tn
+    from cotengra_tpu.ops.executor import make_contractor, slice_arrays
+    from cotengra_tpu.pathfinders.basic import (
+        optimize_random_greedy_track_flops,
+    )
+    from cotengra_tpu.tree import ContractionTree
+
+    m = int(os.environ.get("BENCH_DEPTH", "8"))
+    seed = 42
+
+    # -- plan (host) -----------------------------------------------------
+    inputs, output, shapes, size_dict, arrays = rand_circuit_tn(
+        n_qubits=53, depth=m, seed=seed
+    )
+    t0 = time.time()
+    ssa_path, lf = optimize_random_greedy_track_flops(
+        inputs, output, size_dict, ntrials=64, seed=seed, use_ssa=True
+    )
+    tree = ContractionTree.from_path(
+        inputs, output, size_dict, ssa_path=ssa_path
+    )
+    tree.subtree_reconfigure_(subtree_size=8, maxiter=200)
+    t_plan = time.time() - t0
+
+    # slice to a comfortable intermediate size (2^25 complex64 = 256 MB)
+    target_size = 2**25
+    if tree.max_size() > target_size:
+        tree.slice_and_reconfigure_(
+            target_size,
+            reconf_opts={"subtree_size": 6, "maxiter": 50},
+        )
+
+    print(
+        f"# plan: {tree.describe('full')} plan_time={t_plan:.1f}s",
+        file=sys.stderr,
+    )
+
+    # -- execute a batch of slices on device ------------------------------
+    arrays = [jnp.asarray(a) for a in arrays]
+    core = make_contractor(tree, autojit=True)
+
+    nsl = tree.multiplicity
+    nbench = min(nsl, 8)
+
+    def run_slice(i):
+        return core(*slice_arrays(tree, arrays, i))
+
+    # compile + warm up
+    out = run_slice(0)
+    jax.block_until_ready(out)
+    t_compile = time.time() - t0 - t_plan
+
+    def timed_pass():
+        t1 = time.time()
+        acc = None
+        for i in range(nbench):
+            r = run_slice(i)
+            acc = r if acc is None else acc + r
+        jax.block_until_ready(acc)
+        return time.time() - t1
+
+    # calibrate repeats so each measurement is >= 0.25s of device work
+    once = timed_pass()
+    reps = max(1, int(0.25 / max(once, 1e-4)))
+    best = float("inf")
+    for _ in range(3):
+        t1 = time.time()
+        for _ in range(reps):
+            acc = None
+            for i in range(nbench):
+                r = run_slice(i)
+                acc = r if acc is None else acc + r
+        jax.block_until_ready(acc)
+        best = min(best, (time.time() - t1) / reps)
+
+    flops_per_slice = tree.total_flops(dtype="complex") / nsl
+    tflops = flops_per_slice * nbench / best / 1e12
+
+    sol, gen = detect_sol_tflops()
+    target = 0.6 * sol
+    result = {
+        "metric": f"sycamore53_m{m}_contract_tflops_per_chip_{gen}",
+        "value": round(tflops, 3),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(tflops / target, 4),
+    }
+    print(
+        f"# log10[FLOPs]={tree.total_flops(log=10):.2f} "
+        f"nslices={nsl} bench_slices={nbench} time={best:.3f}s "
+        f"compile={t_compile:.1f}s total={time.time() - t_start:.1f}s "
+        f"SoL({gen})={sol} TFLOP/s",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
