@@ -1,0 +1,681 @@
+// Native pathfinding kernels for cotengra_tpu.
+//
+// C++ equivalents of the reference's Rust `cotengrust` extension
+// (SURVEY.md §2.9): greedy contraction search, batched random-greedy with
+// flops tracking and early abort, and optimal bitmask dynamic programming
+// with a doubling cost-cap sieve (arXiv:1304.6112). Exposed through a
+// plain C ABI consumed via ctypes (no pybind11 in this environment).
+//
+// Contraction model (identical to the Python fallbacks in
+// pathfinders/basic.py): each term is a sorted vector of (index, count)
+// pairs; an index is contracted away exactly when its accumulated count
+// reaches its total appearance count (inputs containing it + 1 if in the
+// output). Sizes/flops are tracked in double (log-free products).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <map>
+#include <queue>
+#include <random>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+using std::size_t;
+
+struct Leg {
+    int ix;
+    int cnt;
+};
+
+using Legs = std::vector<Leg>;
+
+// ---------------------------------------------------------------- rng --
+
+struct Rng {
+    std::mt19937_64 gen;
+    explicit Rng(uint64_t seed) : gen(seed) {}
+    double uniform() {
+        return std::uniform_real_distribution<double>(0.0, 1.0)(gen);
+    }
+    double uniform(double lo, double hi) {
+        return std::uniform_real_distribution<double>(lo, hi)(gen);
+    }
+    double gumbel() {
+        double u = uniform();
+        if (u <= 0.0) u = 1e-300;
+        double e = -std::log(u);  // exponential(1)
+        if (e <= 0.0) e = 1e-300;
+        return -std::log(e);
+    }
+    int randint(int n) {  // [0, n)
+        return (int)std::uniform_int_distribution<int64_t>(0, n - 1)(gen);
+    }
+};
+
+// ------------------------------------------------------------ problem --
+
+struct Problem {
+    // static
+    std::vector<double> sizes;        // per index
+    std::vector<int> appearances;     // per index
+    int n_inputs = 0;
+
+    // dynamic graph state
+    std::unordered_map<int, Legs> terms;                // node -> legs
+    std::unordered_map<int, std::vector<int>> edges;    // ix -> nodes
+    int ssa = 0;
+    std::vector<std::pair<int, int>> path;  // (i, j); j==-1 single step
+    bool track_flops = false;
+    double flops = 0.0;
+    double flops_limit = std::numeric_limits<double>::infinity();
+};
+
+void edges_remove(Problem& P, int ix, int node) {
+    auto it = P.edges.find(ix);
+    if (it == P.edges.end()) return;
+    auto& v = it->second;
+    v.erase(std::remove(v.begin(), v.end(), node), v.end());
+    if (v.empty()) P.edges.erase(it);
+}
+
+Legs pop_node(Problem& P, int i) {
+    Legs legs = std::move(P.terms[i]);
+    P.terms.erase(i);
+    // dedupe ix removal (legs sorted, may contain dup ix entries)
+    int prev = -1;
+    for (auto& l : legs) {
+        if (l.ix != prev) edges_remove(P, l.ix, i);
+        prev = l.ix;
+    }
+    return legs;
+}
+
+int add_node(Problem& P, Legs legs) {
+    int i = P.ssa++;
+    int prev = -1;
+    for (auto& l : legs) {
+        if (l.ix != prev) P.edges[l.ix].push_back(i);
+        prev = l.ix;
+    }
+    P.terms.emplace(i, std::move(legs));
+    return i;
+}
+
+double legs_size(const Legs& legs, const std::vector<double>& sizes) {
+    double s = 1.0;
+    for (auto& l : legs) s *= sizes[l.ix];
+    return s;
+}
+
+double pair_flops(const Legs& a, const Legs& b,
+                  const std::vector<double>& sizes) {
+    // product over the union of indices
+    double f = 1.0;
+    size_t ia = 0, ib = 0;
+    int prev = -1;
+    while (ia < a.size() || ib < b.size()) {
+        int ix;
+        if (ib == b.size() || (ia < a.size() && a[ia].ix <= b[ib].ix)) {
+            ix = a[ia++].ix;
+        } else {
+            ix = b[ib++].ix;
+        }
+        if (ix != prev) f *= sizes[ix];
+        prev = ix;
+    }
+    return f;
+}
+
+Legs merge_legs(const Legs& a, const Legs& b,
+                const std::vector<int>& appearances) {
+    Legs out;
+    out.reserve(a.size() + b.size());
+    size_t ia = 0, ib = 0;
+    while (ia < a.size() && ib < b.size()) {
+        if (a[ia].ix < b[ib].ix) {
+            out.push_back(a[ia++]);
+        } else if (a[ia].ix > b[ib].ix) {
+            out.push_back(b[ib++]);
+        } else {
+            int c = a[ia].cnt + b[ib].cnt;
+            if (c != appearances[a[ia].ix]) out.push_back({a[ia].ix, c});
+            ++ia;
+            ++ib;
+        }
+    }
+    while (ia < a.size()) out.push_back(a[ia++]);
+    while (ib < b.size()) out.push_back(b[ib++]);
+    return out;
+}
+
+int contract_nodes(Problem& P, int i, int j) {
+    Legs li = pop_node(P, i);
+    Legs lj = pop_node(P, j);
+    if (P.track_flops) P.flops += pair_flops(li, lj, P.sizes);
+    Legs lk = merge_legs(li, lj, P.appearances);
+    int k = add_node(P, std::move(lk));
+    P.path.push_back({i, j});
+    return k;
+}
+
+// --------------------------------------------------------- simplify --
+
+void simplify_batch(Problem& P) {
+    std::vector<int> to_remove;
+    for (auto& [ix, nodes] : P.edges) {
+        if ((int)nodes.size() >= (int)P.terms.size()) to_remove.push_back(ix);
+    }
+    for (int ix : to_remove) {
+        auto nodes = P.edges[ix];
+        P.edges.erase(ix);
+        for (int i : nodes) {
+            Legs& legs = P.terms[i];
+            legs.erase(std::remove_if(legs.begin(), legs.end(),
+                                      [ix](const Leg& l) { return l.ix == ix; }),
+                       legs.end());
+        }
+    }
+}
+
+void simplify_single_terms(Problem& P) {
+    std::vector<int> nodes;
+    nodes.reserve(P.terms.size());
+    for (auto& kv : P.terms) nodes.push_back(kv.first);
+    std::sort(nodes.begin(), nodes.end());
+    for (int i : nodes) {
+        const Legs& legs = P.terms[i];
+        bool foldable = false;
+        int prev = -1;
+        for (auto& l : legs) {
+            if (l.ix == prev || l.cnt == P.appearances[l.ix]) {
+                foldable = true;
+                break;
+            }
+            prev = l.ix;
+        }
+        if (!foldable) continue;
+        Legs old = pop_node(P, i);
+        // merge duplicates, drop fully-reduced
+        Legs merged;
+        for (auto& l : old) {
+            if (!merged.empty() && merged.back().ix == l.ix)
+                merged.back().cnt += l.cnt;
+            else
+                merged.push_back(l);
+        }
+        Legs fresh;
+        for (auto& l : merged)
+            if (l.cnt != P.appearances[l.ix]) fresh.push_back(l);
+        add_node(P, std::move(fresh));
+        P.path.push_back({i, -1});
+    }
+}
+
+void simplify_scalars(Problem& P) {
+    std::vector<int> scalars;
+    int jmin = -1;
+    std::pair<size_t, int> jbest{SIZE_MAX, INT32_MAX};
+    for (auto& [i, legs] : P.terms) {
+        if (legs.empty()) {
+            scalars.push_back(i);
+        } else if (std::make_pair(legs.size(), (size_t)i) <
+                   std::make_pair(jbest.first, (size_t)jbest.second)) {
+            jbest = {legs.size(), i};
+            jmin = i;
+        }
+    }
+    if (scalars.empty()) return;
+    std::sort(scalars.begin(), scalars.end());
+    if (jmin >= 0) scalars.push_back(jmin);
+    int cur = scalars[0];
+    for (size_t k = 1; k < scalars.size(); ++k)
+        cur = contract_nodes(P, cur, scalars[k]);
+}
+
+void simplify_hadamard(Problem& P) {
+    std::map<std::vector<int>, std::vector<int>> groups;
+    for (auto& [i, legs] : P.terms) {
+        std::vector<int> key;
+        int prev = -1;
+        for (auto& l : legs) {
+            if (l.ix != prev) key.push_back(l.ix);
+            prev = l.ix;
+        }
+        groups[key].push_back(i);
+    }
+    for (auto& [key, group] : groups) {
+        auto g = group;
+        while (g.size() > 1) {
+            int a = g.back();
+            g.pop_back();
+            int b = g.back();
+            g.pop_back();
+            g.push_back(contract_nodes(P, a, b));
+        }
+    }
+}
+
+void simplify(Problem& P) {
+    simplify_batch(P);
+    bool again = true;
+    while (again) {
+        simplify_single_terms(P);
+        simplify_scalars(P);
+        int before = P.ssa;
+        simplify_hadamard(P);
+        again = before != P.ssa;
+    }
+}
+
+// ------------------------------------------------------------ greedy --
+
+bool optimize_greedy_core(Problem& P, double costmod, double temperature,
+                          int max_neighbors, Rng& rng) {
+    auto local_score = [&](double sa, double sb, double sab) -> double {
+        double x = sab / costmod - (sa + sb) * costmod;
+        if (temperature == 0.0) return x;
+        if (x > 0) return std::log(x) - temperature * rng.gumbel();
+        if (x < 0) return -std::log(-x) - temperature * rng.gumbel();
+        return -temperature * rng.gumbel();
+    };
+
+    std::unordered_map<int, double> node_size;
+    node_size.reserve(P.terms.size() * 2);
+    for (auto& [i, legs] : P.terms) node_size[i] = legs_size(legs, P.sizes);
+
+    struct Cand {
+        int i, j;
+        double ksize;
+        Legs klegs;
+    };
+    using QEntry = std::pair<double, int>;
+    std::priority_queue<QEntry, std::vector<QEntry>, std::greater<QEntry>> queue;
+    std::unordered_map<int, Cand> cands;
+    int cid = 0;
+
+    auto push = [&](int i, int j) {
+        Legs klegs = merge_legs(P.terms[i], P.terms[j], P.appearances);
+        double ksize = legs_size(klegs, P.sizes);
+        double s = local_score(node_size[i], node_size[j], ksize);
+        cands.emplace(cid, Cand{i, j, ksize, std::move(klegs)});
+        queue.push({s, cid});
+        ++cid;
+    };
+
+    for (auto& [ix, nodes] : P.edges) {
+        if (max_neighbors && (int)nodes.size() > max_neighbors) continue;
+        for (size_t a = 0; a < nodes.size(); ++a)
+            for (size_t b = a + 1; b < nodes.size(); ++b)
+                push(nodes[a], nodes[b]);
+    }
+
+    while (!queue.empty()) {
+        auto [s, c0] = queue.top();
+        queue.pop();
+        auto it = cands.find(c0);
+        if (it == cands.end()) continue;
+        Cand cand = std::move(it->second);
+        cands.erase(it);
+        if (!P.terms.count(cand.i) || !P.terms.count(cand.j)) continue;
+
+        Legs li = pop_node(P, cand.i);
+        Legs lj = pop_node(P, cand.j);
+        if (P.track_flops) {
+            P.flops += pair_flops(li, lj, P.sizes);
+            if (P.flops >= P.flops_limit) return false;
+        }
+        int k = add_node(P, std::move(cand.klegs));
+        P.path.push_back({cand.i, cand.j});
+        node_size[k] = cand.ksize;
+
+        // neighbors of k
+        std::unordered_set<int> seen;
+        seen.insert(k);
+        const Legs& klegs2 = P.terms[k];
+        int prev = -1;
+        for (auto& l : klegs2) {
+            if (l.ix == prev) continue;
+            prev = l.ix;
+            auto eit = P.edges.find(l.ix);
+            if (eit == P.edges.end()) continue;
+            auto& nodes = eit->second;
+            if (max_neighbors && (int)nodes.size() > max_neighbors) continue;
+            for (int nb : nodes) {
+                if (seen.insert(nb).second) push(k, nb);
+            }
+        }
+    }
+    return true;
+}
+
+void finalize_by_size(Problem& P) {
+    if (P.terms.size() <= 1) return;
+    using E = std::pair<double, int>;
+    std::priority_queue<E, std::vector<E>, std::greater<E>> q;
+    for (auto& [i, legs] : P.terms) q.push({legs_size(legs, P.sizes), i});
+    while (q.size() > 1) {
+        auto [sa, a] = q.top();
+        q.pop();
+        auto [sb, b] = q.top();
+        q.pop();
+        int k = contract_nodes(P, a, b);
+        q.push({legs_size(P.terms[k], P.sizes), k});
+    }
+}
+
+// --------------------------------------------------------- optimal DP --
+
+// minimize codes: 0=flops 1=max 2=size 3=write 4=combo 5=limit
+double dp_cost(int code, double factor, Legs& temp,
+               const std::vector<int>& appearances,
+               const std::vector<double>& sizes, double si, double sj) {
+    double cost = 1.0, size = 1.0;
+    Legs kept;
+    kept.reserve(temp.size());
+    for (auto& l : temp) {
+        double d = sizes[l.ix];
+        cost *= d;
+        if (l.cnt != appearances[l.ix]) {
+            kept.push_back(l);
+            size *= d;
+        }
+    }
+    temp = std::move(kept);
+    switch (code) {
+        case 0: return si + sj + cost;
+        case 1: return std::max(std::max(si, sj), cost);
+        case 2: return std::max(std::max(si, sj), size);
+        case 3: return si + sj + size;
+        case 4: return si + sj + (cost + factor * size);
+        default: return si + sj + std::max(cost, factor * size);
+    }
+}
+
+struct SubInfo {
+    Legs legs;
+    double score;
+    std::vector<std::pair<uint64_t, uint64_t>> path;
+};
+
+bool optimize_optimal_component(Problem& P, const std::vector<int>& where,
+                                int code, double factor, double cost_cap,
+                                bool search_outer) {
+    int nterms = (int)where.size();
+    if (nterms > 62) return false;  // bitmask limit; DP infeasible anyway
+
+    std::vector<std::unordered_map<uint64_t, SubInfo>> best(nterms + 1);
+    std::unordered_map<uint64_t, int> bit_to_node;
+    for (int b = 0; b < nterms; ++b) {
+        uint64_t bit = 1ULL << b;
+        bit_to_node[bit] = where[b];
+        best[1][bit] = {P.terms[where[b]], 0.0, {}};
+    }
+
+    while (best[nterms].empty()) {
+        for (int m = 2; m <= nterms; ++m) {
+            auto& best_m = best[m];
+            for (int k = 1; k <= m / 2; ++k) {
+                auto& A = best[k];
+                auto& B = best[m - k];
+                for (auto ai = A.begin(); ai != A.end(); ++ai) {
+                    auto bi = (k == m - k) ? std::next(ai) : B.begin();
+                    auto bend = (k == m - k) ? A.end() : B.end();
+                    for (; bi != bend; ++bi) {
+                        uint64_t sg_i = ai->first, sg_j = bi->first;
+                        if (sg_i & sg_j) continue;
+                        const Legs& li = ai->second.legs;
+                        const Legs& lj = bi->second.legs;
+
+                        Legs temp;
+                        temp.reserve(li.size() + lj.size());
+                        size_t ip = 0, jp = 0;
+                        bool disjoint = !search_outer;
+                        while (ip < li.size() && jp < lj.size()) {
+                            if (li[ip].ix < lj[jp].ix) {
+                                temp.push_back(li[ip++]);
+                            } else if (li[ip].ix > lj[jp].ix) {
+                                temp.push_back(lj[jp++]);
+                            } else {
+                                temp.push_back(
+                                    {li[ip].ix, li[ip].cnt + lj[jp].cnt});
+                                ++ip;
+                                ++jp;
+                                disjoint = false;
+                            }
+                        }
+                        if (disjoint) continue;
+                        while (ip < li.size()) temp.push_back(li[ip++]);
+                        while (jp < lj.size()) temp.push_back(lj[jp++]);
+
+                        double ns = dp_cost(code, factor, temp, P.appearances,
+                                            P.sizes, ai->second.score,
+                                            bi->second.score);
+                        if (ns > cost_cap) continue;
+                        uint64_t sg_k = sg_i | sg_j;
+                        auto cur = best_m.find(sg_k);
+                        if (cur == best_m.end() || ns < cur->second.score) {
+                            SubInfo info;
+                            info.legs = std::move(temp);
+                            info.score = ns;
+                            info.path = ai->second.path;
+                            info.path.insert(info.path.end(),
+                                             bi->second.path.begin(),
+                                             bi->second.path.end());
+                            info.path.push_back({sg_i, sg_j});
+                            best_m[sg_k] = std::move(info);
+                        }
+                    }
+                }
+            }
+        }
+        cost_cap *= 2.0;
+        if (!std::isfinite(cost_cap)) return false;
+    }
+
+    auto& final_info = best[nterms].begin()->second;
+    for (auto& [sg_i, sg_j] : final_info.path) {
+        int i = bit_to_node[sg_i];
+        int j = bit_to_node[sg_j];
+        int k = contract_nodes(P, i, j);
+        bit_to_node[sg_i | sg_j] = k;
+    }
+    return true;
+}
+
+std::vector<std::vector<int>> components(Problem& P) {
+    std::unordered_set<int> remaining;
+    for (auto& kv : P.terms) remaining.insert(kv.first);
+    std::vector<std::vector<int>> comps;
+    while (!remaining.empty()) {
+        int s = *remaining.begin();
+        std::vector<int> comp{s};
+        std::unordered_set<int> inc{s};
+        std::vector<int> stack{s};
+        remaining.erase(s);
+        while (!stack.empty()) {
+            int i = stack.back();
+            stack.pop_back();
+            for (auto& l : P.terms[i]) {
+                auto it = P.edges.find(l.ix);
+                if (it == P.edges.end()) continue;
+                for (int j : it->second) {
+                    if (j != i && inc.insert(j).second) {
+                        comp.push_back(j);
+                        stack.push_back(j);
+                        remaining.erase(j);
+                    }
+                }
+            }
+        }
+        std::sort(comp.begin(), comp.end());
+        comps.push_back(std::move(comp));
+    }
+    std::sort(comps.begin(), comps.end());
+    return comps;
+}
+
+// -------------------------------------------------------- marshalling --
+
+Problem build_problem(int n_terms, const int* term_offsets,
+                      const int* term_inds, int n_inds, const double* sizes,
+                      const int* output_inds, int n_output) {
+    Problem P;
+    P.n_inputs = n_terms;
+    P.sizes.assign(sizes, sizes + n_inds);
+    P.appearances.assign(n_inds, 0);
+
+    for (int i = 0; i < n_terms; ++i) {
+        Legs legs;
+        for (int p = term_offsets[i]; p < term_offsets[i + 1]; ++p) {
+            int ix = term_inds[p];
+            if (P.sizes[ix] == 1.0) continue;  // strip size-1
+            legs.push_back({ix, 1});
+            P.appearances[ix]++;
+        }
+        std::sort(legs.begin(), legs.end(),
+                  [](const Leg& a, const Leg& b) { return a.ix < b.ix; });
+        // register edges (dedup)
+        int prev = -1;
+        for (auto& l : legs) {
+            if (l.ix != prev) P.edges[l.ix].push_back(i);
+            prev = l.ix;
+        }
+        P.terms.emplace(i, std::move(legs));
+    }
+    for (int o = 0; o < n_output; ++o) {
+        int ix = output_inds[o];
+        if (P.sizes[ix] != 1.0) P.appearances[ix]++;
+    }
+    P.ssa = n_terms;
+    return P;
+}
+
+int write_path(const Problem& P, int* out_path) {
+    int n = (int)P.path.size();
+    for (int s = 0; s < n; ++s) {
+        out_path[2 * s] = P.path[s].first;
+        out_path[2 * s + 1] = P.path[s].second;
+    }
+    return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// returns number of path steps written (pairs; second == -1 for single
+// steps), or -1 on error
+int ctg_optimize_greedy(int n_terms, const int* term_offsets,
+                        const int* term_inds, int n_inds,
+                        const double* sizes, const int* output_inds,
+                        int n_output, double costmod, double temperature,
+                        int max_neighbors, int do_simplify,
+                        uint64_t seed, int* out_path) {
+    try {
+        Problem P = build_problem(n_terms, term_offsets, term_inds, n_inds,
+                                  sizes, output_inds, n_output);
+        Rng rng(seed);
+        if (do_simplify) simplify(P);
+        optimize_greedy_core(P, costmod, temperature, max_neighbors, rng);
+        finalize_by_size(P);
+        return write_path(P, out_path);
+    } catch (...) {
+        return -1;
+    }
+}
+
+// batched random greedy: samples costmod ~ U(range) and temperature ~
+// logU(range) per trial, tracks flops, early-aborts losing trials.
+// Returns path length; *out_log10_flops gets the best trial's log10 flops.
+int ctg_optimize_random_greedy(int n_terms, const int* term_offsets,
+                               const int* term_inds, int n_inds,
+                               const double* sizes, const int* output_inds,
+                               int n_output, int ntrials, double costmod_lo,
+                               double costmod_hi, double temp_lo,
+                               double temp_hi, int max_neighbors,
+                               int do_simplify, uint64_t seed,
+                               int* out_path, double* out_log10_flops) {
+    try {
+        Problem base = build_problem(n_terms, term_offsets, term_inds,
+                                     n_inds, sizes, output_inds, n_output);
+        Rng rng(seed);
+        base.track_flops = true;  // include simplification-step flops
+        if (do_simplify) simplify(base);
+
+        double best_flops = std::numeric_limits<double>::infinity();
+        std::vector<std::pair<int, int>> best_path;
+
+        for (int t = 0; t < ntrials; ++t) {
+            Problem P = base;  // copy (keeps base's simplify flops)
+            P.flops_limit = best_flops;
+            double cm = rng.uniform(costmod_lo, costmod_hi);
+            double tp;
+            if (temp_lo == temp_hi) {
+                tp = temp_lo;
+            } else {
+                double llo = std::log(std::max(temp_lo, 1e-9));
+                double lhi = std::log(std::max(temp_hi, 1e-9));
+                tp = std::exp(rng.uniform(llo, lhi));
+            }
+            bool ok = optimize_greedy_core(P, cm, tp, max_neighbors, rng);
+            if (!ok) continue;
+            finalize_by_size(P);
+            if (P.flops < best_flops) {
+                best_flops = P.flops;
+                best_path = P.path;
+            }
+        }
+
+        if (best_path.empty()) {
+            Problem P = base;
+            optimize_greedy_core(P, 1.0, 0.0, max_neighbors, rng);
+            finalize_by_size(P);
+            best_flops = P.flops;
+            best_path = P.path;
+        }
+
+        *out_log10_flops = std::log10(std::max(best_flops, 1.0));
+        int n = (int)best_path.size();
+        for (int s = 0; s < n; ++s) {
+            out_path[2 * s] = best_path[s].first;
+            out_path[2 * s + 1] = best_path[s].second;
+        }
+        return n;
+    } catch (...) {
+        return -1;
+    }
+}
+
+// minimize codes: 0=flops 1=max 2=size 3=write 4=combo 5=limit
+// returns path length, or -1 on error, -2 if a component exceeds the
+// 62-term bitmask limit (caller should fall back to Python)
+int ctg_optimize_optimal(int n_terms, const int* term_offsets,
+                         const int* term_inds, int n_inds,
+                         const double* sizes, const int* output_inds,
+                         int n_output, int minimize_code, double factor,
+                         double cost_cap, int search_outer, int do_simplify,
+                         int* out_path) {
+    try {
+        Problem P = build_problem(n_terms, term_offsets, term_inds, n_inds,
+                                  sizes, output_inds, n_output);
+        if (do_simplify) simplify(P);
+        for (auto& comp : components(P)) {
+            if (comp.size() < 2) continue;
+            if (!optimize_optimal_component(P, comp, minimize_code, factor,
+                                            cost_cap, search_outer != 0))
+                return -2;
+        }
+        finalize_by_size(P);
+        return write_path(P, out_path);
+    } catch (...) {
+        return -1;
+    }
+}
+
+}  // extern "C"
