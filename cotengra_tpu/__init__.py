@@ -60,6 +60,8 @@ from .tree import (
     linear_to_ssa,
     ssa_to_linear,
 )
+from .tree_compressed import ContractionTreeCompressed
+from .tree_multi import ContractionTreeMulti
 from .models.instances import (
     lattice_equation,
     perverse_equation,
@@ -70,20 +72,21 @@ from .models.instances import (
 
 register_builtin_presets()
 
-try:
-    from .hyper import (
-        HyperOptimizer,
-        ReusableHyperOptimizer,
-        get_hyper_space,
-        list_hyper_functions,
-        register_hyper_function,
-        register_hyper_optlib,
-    )
-    from .hyper import register_hyper_presets as _register_hyper_presets
+from .hyper import (
+    HyperCompressedOptimizer,
+    HyperMultiOptimizer,
+    HyperOptimizer,
+    ReusableHyperCompressedOptimizer,
+    ReusableHyperOptimizer,
+    UniformOptimizer,
+    get_hyper_space,
+    list_hyper_functions,
+    register_hyper_function,
+    register_hyper_optlib,
+)
+from .hyper import register_hyper_presets as _register_hyper_presets
 
-    _register_hyper_presets()
-except ImportError:
-    pass
+_register_hyper_presets()
 
 __all__ = [
     "array_contract",
@@ -96,6 +99,14 @@ __all__ = [
     "ComboObjective",
     "ContractionCosts",
     "ContractionTree",
+    "ContractionTreeCompressed",
+    "ContractionTreeMulti",
+    "HyperCompressedOptimizer",
+    "HyperMultiOptimizer",
+    "HyperOptimizer",
+    "ReusableHyperCompressedOptimizer",
+    "ReusableHyperOptimizer",
+    "UniformOptimizer",
     "EdgeSortOptimizer",
     "einsum",
     "einsum_expression",

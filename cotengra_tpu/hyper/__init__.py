@@ -72,6 +72,47 @@ register_hyper_function(
 )
 
 
+def _hyper_ssa_greedy_compressed(inputs, output, size_dict, **params):
+    from ..pathfinders.compressed import greedy_compressed_ssa
+
+    return greedy_compressed_ssa(inputs, output, size_dict, **params)
+
+
+register_hyper_function(
+    "greedy-compressed",
+    _hyper_ssa_greedy_compressed,
+    space={
+        "coeff_size_compressed": {"type": "FLOAT", "min": 0.5, "max": 2.0},
+        "coeff_size": {"type": "FLOAT", "min": -0.5, "max": 0.5},
+        "coeff_subgraph": {"type": "FLOAT", "min": -0.5, "max": 0.5},
+        "coeff_centrality": {"type": "FLOAT", "min": -1.0, "max": 1.0},
+        "temperature": {"type": "FLOAT_EXP", "min": 0.001, "max": 1.0},
+    },
+)
+
+
+def _hyper_ssa_greedy_span(inputs, output, size_dict, **params):
+    from ..pathfinders.compressed import greedy_span_ssa
+
+    return greedy_span_ssa(inputs, output, size_dict, **params)
+
+
+register_hyper_function(
+    "greedy-span",
+    _hyper_ssa_greedy_span,
+    space={
+        "start": {"type": "STRING", "options": ["max", "min"]},
+        "coeff_connectivity": {"type": "FLOAT", "min": 0.0, "max": 2.0},
+        "coeff_ndim": {"type": "FLOAT", "min": -1.0, "max": 1.0},
+        "coeff_distance": {"type": "FLOAT", "min": -1.0, "max": 1.0},
+        "coeff_next_centrality": {
+            "type": "FLOAT", "min": -1.0, "max": 1.0,
+        },
+        "temperature": {"type": "FLOAT_EXP", "min": 0.001, "max": 1.0},
+    },
+)
+
+
 class UniformOptimizer(HyperOptimizer):
     """Uniform random sampling over methods/params (no learning) - useful
     as a control and in tests (reference parity: ``UniformOptimizer``).
@@ -80,6 +121,73 @@ class UniformOptimizer(HyperOptimizer):
     def __init__(self, **kwargs):
         kwargs.setdefault("optlib", "random")
         super().__init__(**kwargs)
+
+
+class HyperCompressedOptimizer(HyperOptimizer):
+    """Hyper-optimizer over *compressed* contraction trees: methods
+    default to the compressed pathfinders, trees are built as
+    ``ContractionTreeCompressed``, scored by a compressed objective, and
+    refined by windowed order-annealing (reference ``hyper.py:1098``).
+    """
+
+    compressed = True
+
+    def __init__(self, chi=None, methods=None, minimize=None, **kwargs):
+        from ..tree_compressed import ContractionTreeCompressed
+
+        if methods is None:
+            methods = ["greedy-compressed", "greedy-span"]
+        if minimize is None:
+            if chi is None or chi == "auto":
+                minimize = "peak-compressed"
+            else:
+                minimize = f"peak-compressed-{chi}"
+        super().__init__(methods=methods, minimize=minimize, **kwargs)
+        self.tree_class = ContractionTreeCompressed
+
+
+class HyperMultiOptimizer(HyperOptimizer):
+    """Hyper-optimizer for amortized multi-contraction over a batch of
+    index configurations (reference ``hyper.py:1272``).
+    """
+
+    multicontraction = True
+
+    def __init__(
+        self,
+        varmults=None,
+        numconfigs=1,
+        strategy="uniform",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.multi_opts = {
+            "varmults": tuple(varmults or ()),
+            "numconfigs": numconfigs,
+            "strategy": strategy,
+        }
+
+
+class ReusableHyperCompressedOptimizer(ReusableHyperOptimizer):
+    """Disk-cached wrapper around HyperCompressedOptimizer."""
+
+    def _search_and_pack(self, inputs, output, size_dict):
+        opt = HyperCompressedOptimizer(**self.opt_kwargs)
+        self.last_opt = opt
+        tree = opt.search(inputs, output, size_dict)
+        return {
+            "ssa_path": tree.get_ssa_path(),
+            "sliced_inds": (),
+            "score": opt.best_score,
+            "flops": opt.best["flops"],
+        }, tree
+
+    def _unpack(self, record, inputs, output, size_dict):
+        from ..tree_compressed import ContractionTreeCompressed
+
+        return ContractionTreeCompressed.from_path(
+            inputs, output, size_dict, ssa_path=record["ssa_path"]
+        )
 
 
 # -- presets ------------------------------------------------------------------
@@ -93,14 +201,57 @@ def hyper_optimize(inputs, output, size_dict, get="tree", **opts):
     return tree.get_path()
 
 
+def hyper_compressed_optimize(
+    inputs, output, size_dict, get="tree", **opts
+):
+    opt = HyperCompressedOptimizer(**opts)
+    tree = opt.search(inputs, output, size_dict)
+    if get == "tree":
+        return tree
+    return tree.get_path()
+
+
 def register_hyper_presets():
     from ..interface import register_preset
+    from ..pathfinders.compressed import (
+        optimize_greedy_compressed,
+        optimize_greedy_span,
+    )
+    from ..tree_compressed import ContractionTreeCompressed
 
     register_preset(
         "hyper",
         functools.partial(hyper_optimize, get="path"),
         functools.partial(hyper_optimize, get="tree"),
     )
+    register_preset(
+        "hyper-compressed",
+        functools.partial(hyper_compressed_optimize, get="path"),
+        functools.partial(hyper_compressed_optimize, get="tree"),
+    )
+
+    def _gc_tree(inputs, output, size_dict):
+        return ContractionTreeCompressed.from_path(
+            inputs,
+            output,
+            size_dict,
+            ssa_path=_hyper_ssa_greedy_compressed(
+                inputs, output, size_dict
+            ),
+        )
+
+    def _gs_tree(inputs, output, size_dict):
+        return ContractionTreeCompressed.from_path(
+            inputs,
+            output,
+            size_dict,
+            ssa_path=_hyper_ssa_greedy_span(inputs, output, size_dict),
+        )
+
+    register_preset(
+        "greedy-compressed", optimize_greedy_compressed, _gc_tree
+    )
+    register_preset("greedy-span", optimize_greedy_span, _gs_tree)
     register_preset(
         "hyper-256",
         functools.partial(hyper_optimize, get="path", max_repeats=256),

@@ -68,33 +68,79 @@ def run_trial(
     slicing_opts=None,
     slicing_reconf_opts=None,
     reconf_opts=None,
+    tree_class=None,
+    multi_opts=None,
 ):
     """Build a tree with ``method``/``params`` and apply the refinement
     stack, returning the scored trial dict.
     """
     t0 = time.time()
     ssa_path = _HYPER_FNS[method](inputs, output, size_dict, **params)
-    tree = ContractionTree.from_path(
-        inputs, output, size_dict, ssa_path=ssa_path, objective=minimize
-    )
 
-    if simulated_annealing_opts is not None:
+    if tree_class is None:
+        tree_class = ContractionTree
+
+    if multi_opts is not None:
+        from ..tree_multi import ContractionTreeMulti
+
+        tree = ContractionTreeMulti.from_path(
+            inputs, output, size_dict, ssa_path=ssa_path
+        )
+        tree.sliced_inds = {
+            ix: None for ix in multi_opts.get("varmults", ())
+        }
+        from ..scoring import get_multi_objective
+
+        tree.set_default_objective(
+            get_multi_objective(
+                multi_opts.get("strategy", "uniform"),
+                multi_opts.get("numconfigs", 1),
+            )
+        )
+    else:
+        tree = tree_class.from_path(
+            inputs,
+            output,
+            size_dict,
+            ssa_path=ssa_path,
+            objective=minimize,
+        )
+
+    compressed = getattr(tree, "total_flops_exact", None) is not None
+
+    if simulated_annealing_opts is not None and not compressed:
         from ..pathfinders.annealing import simulated_anneal_tree
 
         simulated_anneal_tree(
             tree, minimize=minimize, inplace=True,
             **simulated_annealing_opts,
         )
-    if slicing_opts is not None:
+    if slicing_opts is not None and not compressed:
         tree.slice_(**slicing_opts)
-    if slicing_reconf_opts is not None:
+    if slicing_reconf_opts is not None and not compressed:
         opts = dict(slicing_reconf_opts)
         target_size = opts.pop("target_size")
         tree.slice_and_reconfigure_(target_size, minimize=minimize, **opts)
     if reconf_opts is not None:
-        opts = dict(reconf_opts)
-        opts.setdefault("minimize", minimize)
-        tree.subtree_reconfigure_(**opts)
+        if compressed:
+            tree.windowed_reconfigure_(
+                minimize=minimize,
+                **{
+                    k: v
+                    for k, v in reconf_opts.items()
+                    if k
+                    in (
+                        "window_size",
+                        "max_iterations",
+                        "score_temperature",
+                        "seed",
+                    )
+                },
+            )
+        else:
+            opts = dict(reconf_opts)
+            opts.setdefault("minimize", minimize)
+            tree.subtree_reconfigure_(**opts)
 
     trial = {
         "tree": tree,
@@ -210,6 +256,9 @@ class HyperOptimizer(PathOptimizer):
     def path(self):
         return self.best["tree"].get_path()
 
+    tree_class = None
+    multi_opts = None
+
     def _trial_kwargs(self):
         return dict(
             minimize=self.minimize,
@@ -217,6 +266,8 @@ class HyperOptimizer(PathOptimizer):
             slicing_opts=self.slicing_opts,
             slicing_reconf_opts=self.slicing_reconf_opts,
             reconf_opts=self.reconf_opts,
+            tree_class=self.tree_class,
+            multi_opts=self.multi_opts,
         )
 
     def _score_trial(self, trial):

@@ -98,6 +98,57 @@ class HyperGraph:
             self.edge_size(ix) for ix in self.nodes[j] if ix in ti
         )
 
+    def edges_size(self, es):
+        """Combined (product) size of the edges ``es``."""
+        return prod(map(self.edge_size, es))
+
+    def total_node_size(self):
+        return sum(map(self.node_size, self.nodes))
+
+    def neighborhood_size(self, nodes):
+        """Total size of all tensors in the immediate neighborhood of
+        ``nodes`` (inclusive)."""
+        hood = {
+            nn
+            for n in nodes
+            for ix in self.nodes[n]
+            for nn in self.edges[ix]
+        }
+        return sum(map(self.node_size, hood))
+
+    def contract_pair_cost(self, i, j):
+        """Cost of contracting nodes ``i``, ``j`` = product of the sizes
+        of all involved indices."""
+        return self.edges_size(set(self.nodes[i] + self.nodes[j]))
+
+    def neighborhood_compress_cost(self, chi, nodes):
+        """Estimated cost (QR-reduction dominated) of compressing all
+        over-sized multibonds incident to ``nodes`` down to ``chi``.
+        """
+        region_edges = {ix for n in nodes for ix in self.nodes[n]}
+        oset = set(self.output)
+        incidences = {}
+        for ix in region_edges:
+            if ix in oset:
+                continue
+            e_nodes = frozenset(self.edges[ix])
+            incidences.setdefault(e_nodes, []).append(ix)
+        # bonds fully inside the region are about to be contracted anyway
+        incidences.pop(frozenset(nodes), None)
+
+        C = 0
+        for e_nodes, group in incidences.items():
+            da = self.edges_size(group)
+            if da > chi:
+                for node in e_nodes:
+                    outer = [
+                        ix for ix in self.nodes[node] if ix not in group
+                    ]
+                    db = self.edges_size(outer)
+                    lo, hi = sorted((da, db))
+                    C += lo**2 * hi
+        return C
+
     def neighbors(self, i):
         """Unique neighboring nodes of ``i``."""
         seen = {i}
@@ -169,37 +220,28 @@ class HyperGraph:
         return self.add_node(keep, node=node)
 
     def compress(self, chi, edges=None):
-        """Compress multi-index bonds: for each pair of nodes sharing a
-        group of indices with total size > chi, replace the group by a
-        single bond of size ``min(group_size, chi)``. Models bond-truncation
-        in approximate (compressed) contraction.
+        """'Compress' multiedges: groups of indices incident to the same
+        set of nodes are combined into a single bond whose size is capped
+        at ``chi``. Models bond-truncation in approximate (compressed)
+        contraction.
         """
         if edges is None:
             edges = list(self.edges)
-        # group shared indices per node-pair
-        pair_groups = {}
         oset = set(self.output)
-        for ix in edges:
+        groups = {}
+        for ix in dict.fromkeys(edges):
             if ix in oset or ix not in self.edges:
                 continue
-            nodes = self.edges[ix]
-            if len(nodes) != 2:
-                continue
-            key = tuple(sorted(nodes))
-            pair_groups.setdefault(key, []).append(ix)
+            key = frozenset(self.edges[ix])
+            groups.setdefault(key, []).append(ix)
 
-        for (i, j), group in pair_groups.items():
-            d = prod(map(self.edge_size, group))
-            if d <= chi:
-                continue
-            # remove the group, add a single chi-sized bond
-            for ix in group:
-                self.remove_edge(ix)
-            new_ix = f"__chi{i}_{j}_{len(self.size_dict)}"
-            self.size_dict[new_ix] = chi
-            self.nodes[i].append(new_ix)
-            self.nodes[j].append(new_ix)
-            self.edges[new_ix] = [i, j]
+        for group in groups.values():
+            if len(group) > 1:
+                new_size = prod(map(self.edge_size, group))
+                keep, *rest = group
+                for ix in rest:
+                    self.remove_edge(ix)
+                self.size_dict[keep] = min(new_size, chi)
 
     def candidate_contraction_size(self, i, j, chi=None):
         """Size of the tensor formed by contracting ``i, j``, optionally

@@ -204,18 +204,71 @@ def array_contract_tree(
 
 
 class Expression:
-    """A compiled, reusable contraction expression."""
+    """A compiled, reusable contraction expression.
 
-    __slots__ = ("tree", "_kwargs", "__weakref__")
+    If ``constants`` (a dict position -> array) is given, those tensors
+    are closed over and baked into the compiled program - XLA folds any
+    work depending only on them at compile time (the jit-native analog of
+    the reference's autoray.lazy constants folding,
+    ``interface.py:511-574``).
+    """
 
-    def __init__(self, tree, **kwargs):
+    __slots__ = ("tree", "_kwargs", "_constants", "_folded", "__weakref__")
+
+    def __init__(self, tree, constants=None, **kwargs):
         self.tree = tree
         self._kwargs = kwargs
+        if constants:
+            import jax.numpy as jnp
+
+            self._constants = {
+                int(pos): jnp.asarray(a) for pos, a in constants.items()
+            }
+        else:
+            self._constants = None
+        self._folded = None
+
+    def _build_folded(self, opts):
+        import jax
+
+        from .ops.executor import make_full_contractor
+
+        inner = make_full_contractor(self.tree, autojit=False, **opts)
+        consts = self._constants
+        n = self.tree.N
+
+        def folded(*variables):
+            full = []
+            vi = 0
+            for i in range(n):
+                if i in consts:
+                    full.append(consts[i])
+                else:
+                    full.append(variables[vi])
+                    vi += 1
+            return inner(*full)
+
+        return jax.jit(folded)
 
     def __call__(self, *arrays, **kwargs):
         opts = {**self._kwargs, **kwargs}
         opts.pop("backend", None)  # jax is the only backend
-        return self.tree.contract(arrays, **opts)
+        if self._constants is None:
+            if len(arrays) != self.tree.N:
+                raise ValueError(
+                    f"Expression takes {self.tree.N} arrays, "
+                    f"got {len(arrays)}."
+                )
+            return self.tree.contract(arrays, **opts)
+        n_var = self.tree.N - len(self._constants)
+        if len(arrays) != n_var:
+            raise ValueError(
+                f"Expression with {len(self._constants)} constants takes "
+                f"{n_var} variable arrays, got {len(arrays)}."
+            )
+        if self._folded is None:
+            self._folded = self._build_folded(opts)
+        return self._folded(*arrays)
 
     def __repr__(self):
         return f"<Expression(N={self.tree.N})>"
@@ -228,9 +281,24 @@ def array_contract_expression(
     shapes=None,
     optimize="auto",
     cache=True,
+    constants=None,
     **kwargs,
 ):
-    """Get a reusable compiled expression ``expr(*arrays)``."""
+    """Get a reusable compiled expression ``expr(*arrays)``.
+
+    ``constants`` may be a dict ``{position: array}`` - those tensors are
+    baked into the compiled program and ``expr`` then takes only the
+    remaining (variable) arrays, in order.
+    """
+    if constants is not None and not isinstance(constants, dict):
+        raise TypeError("constants must be a dict {position: array}")
+    if constants:
+        shapes = list(shapes) if shapes is not None else None
+        if shapes is not None:
+            for pos, arr in constants.items():
+                shapes[pos] = getattr(arr, "shape", ())
+        kwargs["constants"] = constants
+        cache = False  # constants are concrete arrays - don't cache
     c_inputs, c_output, c_size_dict, _ = canonicalize_inputs(
         inputs, output, shapes=shapes, size_dict=size_dict
     )
@@ -303,14 +371,36 @@ def einsum_tree(*args, optimize="auto", shapes=False, **kwargs):
     )
 
 
-def einsum_expression(*args, optimize="auto", shapes=True, **kwargs):
+def einsum_expression(
+    *args, optimize="auto", shapes=True, constants=None, **kwargs
+):
     """Get a reusable compiled einsum expression from an equation and
     shapes.
+
+    ``constants`` may be a sequence of positions whose entries in the
+    shape arguments are actual arrays (reference convention), or a dict
+    ``{position: array}``.
     """
+    if constants is not None and not isinstance(constants, dict):
+        # positions convention: the "shape" at each position is an array
+        eq_or_arrays = list(args)
+        const_dict = {}
+        for pos in constants:
+            const_dict[int(pos)] = eq_or_arrays[1 + int(pos)]
+            eq_or_arrays[1 + int(pos)] = getattr(
+                eq_or_arrays[1 + int(pos)], "shape", ()
+            )
+        args = tuple(eq_or_arrays)
+        constants = const_dict
     eq, shps = parse_einsum_input(args, shapes=shapes)
     inputs, output = eq_to_inputs_output(eq)
     return array_contract_expression(
-        inputs, output, shapes=shps, optimize=optimize, **kwargs
+        inputs,
+        output,
+        shapes=shps,
+        optimize=optimize,
+        constants=constants,
+        **kwargs,
     )
 
 

@@ -228,9 +228,14 @@ def make_full_contractor(
     autojit=True,
     precision=None,
     preferred_element_type=None,
+    slice_batch=None,
 ):
     """Compile the FULL contraction of ``tree``: slice enumeration, inner
     sum and chunk reassembly all inside one jitted function.
+
+    ``slice_batch=B`` contracts B inner slices at once via ``vmap`` -
+    larger effective batch dims feed the MXU better when individual
+    slices are small, at B-times the intermediate memory.
     """
     ir = extract_contractions(tree, order=order)
     core = build_core_fn(
@@ -249,11 +254,53 @@ def make_full_contractor(
     slicer = make_traced_slicer(tree)
     n_inner, n_chunks, _ = _chunk_structure(tree)
 
+    if slice_batch:
+        slice_batch = min(slice_batch, n_inner)
+
     def fn(*arrays):
         def one(sid):
             return core(*slicer(arrays, sid))
 
+        def chunk_batched(c):
+            B = slice_batch
+            nb = -(-n_inner // B)
+
+            def body(k, acc):
+                offs = k * B + jnp.arange(B)
+                in_range = offs < n_inner
+                # clamp invalid ids to a safe slice, zero their results
+                ids = c * n_inner + jnp.where(in_range, offs, 0)
+                res = jax.vmap(one)(ids)
+                if strip_exponent:
+                    ms, es = res
+                    e = jnp.max(es)
+                    ms = ms * 10.0 ** (es - e).reshape(
+                        es.shape + (1,) * (ms.ndim - 1)
+                    )
+                    mask = in_range.reshape(
+                        in_range.shape + (1,) * (ms.ndim - 1)
+                    )
+                    part = (jnp.sum(jnp.where(mask, ms, 0), axis=0), e)
+                    return _add_stripped(acc, part)
+                mask = in_range.reshape(
+                    in_range.shape + (1,) * (res.ndim - 1)
+                )
+                return acc + jnp.sum(jnp.where(mask, res, 0), axis=0)
+
+            shp = jax.eval_shape(one, jnp.asarray(0))
+            if strip_exponent:
+                init = (
+                    jnp.zeros(shp[0].shape, shp[0].dtype),
+                    jnp.zeros((), shp[1].dtype),
+                )
+            else:
+                init = jnp.zeros(shp.shape, shp.dtype)
+            return jax.lax.fori_loop(0, nb, body, init)
+
         def chunk(c):
+            if slice_batch and slice_batch > 1:
+                return chunk_batched(c)
+
             first = one(c * n_inner)
             if n_inner == 1:
                 return first

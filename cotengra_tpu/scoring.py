@@ -248,10 +248,299 @@ class LimitObjective(ExactObjective):
         return math.log2(tree.combo_cost(factor=self.factor, combine=max))
 
 
+# -- compressed contraction scoring ------------------------------------------
+#
+# A compressed (chi-capped, approximate) contraction's costs depend on the
+# full history of bond truncations - they are computed by *replaying* the
+# contraction on a HyperGraph with compress() steps, accumulating stats in
+# a tracker (reference behavior: ``scoring.py:339-794``).
+
+
+class CompressedStatsTracker:
+    """Accumulates flops/max-size/peak-size/write over a replayed
+    compressed contraction.
+    """
+
+    __slots__ = (
+        "chi",
+        "flops",
+        "max_size",
+        "peak_size",
+        "write",
+        "total_size",
+        "total_size_post_contract",
+        "contracted_size",
+        "size_change",
+        "flops_change",
+        "secondary_weight",
+        "factor",
+    )
+
+    def __init__(self, hg, chi, secondary_weight=1e-3, factor=None):
+        if chi == "auto":
+            chi = max(hg.size_dict.values(), default=2) ** 2
+        self.chi = chi
+        self.secondary_weight = secondary_weight
+        self.factor = factor
+
+        self.total_size = 0
+        self.total_size_post_contract = 0
+        self.contracted_size = 0
+        self.size_change = 0
+        self.flops_change = 0
+        self.flops = 0
+        self.max_size = 0
+        for i in hg.nodes:
+            sz = hg.node_size(i)
+            self.max_size = max(self.max_size, sz)
+            self.total_size += sz
+        self.write = self.peak_size = self.total_size
+
+    def copy(self):
+        new = object.__new__(self.__class__)
+        for attr in self.__slots__:
+            setattr(new, attr, getattr(self, attr))
+        return new
+
+    def update_pre_step(self):
+        self.size_change = 0
+        self.flops_change = 0
+
+    def update_pre_compress(self, hg, *nodes):
+        self.size_change -= hg.neighborhood_size(nodes)
+        self.flops_change += hg.neighborhood_compress_cost(self.chi, nodes)
+
+    def update_post_compress(self, hg, *nodes):
+        self.size_change += hg.neighborhood_size(nodes)
+
+    def update_pre_contract(self, hg, i, j):
+        self.size_change -= hg.node_size(i) + hg.node_size(j)
+        self.flops_change += hg.contract_pair_cost(i, j)
+
+    def update_post_contract(self, hg, ij):
+        self.contracted_size = hg.node_size(ij)
+        self.size_change += self.contracted_size
+        self.total_size_post_contract = self.total_size + self.size_change
+
+    def update_post_step(self):
+        self.max_size = max(self.max_size, self.contracted_size)
+        self.peak_size = max(self.peak_size, self.total_size_post_contract)
+        self.total_size += self.size_change
+        self.flops += self.flops_change
+        self.write += self.contracted_size
+
+    def update_score(self, other):
+        """Combine with a previous tracker state (windowed refinement)."""
+        self.flops = other.flops + self.flops_change
+        self.write = other.write + self.contracted_size
+        self.max_size = max(other.max_size, self.contracted_size)
+        self.peak_size = max(
+            other.peak_size, self.total_size_post_contract
+        )
+
+    @property
+    def combo_score(self):
+        return math.log2(
+            self.flops + DEFAULT_COMBO_FACTOR * self.write + 1
+        )
+
+    @property
+    def score(self):
+        raise NotImplementedError
+
+    def describe(self, join=" "):
+        F = math.log10(max(1, self.flops))
+        C = math.log10(
+            max(
+                1,
+                self.flops
+                + (self.factor or DEFAULT_COMBO_FACTOR) * self.write,
+            )
+        )
+        S = math.log2(max(1, self.max_size))
+        P = math.log2(max(1, self.peak_size))
+        return join.join(
+            (f"F={F:.2f}", f"C={C:.2f}", f"S={S:.2f}", f"P={P:.2f}")
+        )
+
+    def __repr__(self):
+        return f"<{self.__class__.__name__}({self.describe(join=', ')})>"
+
+
+class CompressedStatsTrackerSize(CompressedStatsTracker):
+    __slots__ = ()
+
+    @property
+    def score(self):
+        return (
+            math.log2(max(self.max_size, 1))
+            + math.log2(self.flops + 1) * self.secondary_weight
+        )
+
+
+class CompressedStatsTrackerPeak(CompressedStatsTracker):
+    __slots__ = ()
+
+    @property
+    def score(self):
+        return (
+            math.log2(max(self.peak_size, 1))
+            + math.log2(self.flops + 1) * self.secondary_weight
+        )
+
+
+class CompressedStatsTrackerWrite(CompressedStatsTracker):
+    __slots__ = ()
+
+    @property
+    def score(self):
+        return (
+            math.log2(max(self.write, 1))
+            + math.log2(self.flops + 1) * self.secondary_weight
+        )
+
+
+class CompressedStatsTrackerFlops(CompressedStatsTracker):
+    __slots__ = ()
+
+    @property
+    def score(self):
+        return (
+            math.log10(self.flops + 1)
+            + math.log10(max(self.peak_size, 1)) * self.secondary_weight
+        )
+
+
+class CompressedStatsTrackerCombo(CompressedStatsTracker):
+    __slots__ = ()
+
+    @property
+    def score(self):
+        f = self.factor or DEFAULT_COMBO_FACTOR
+        return math.log2(self.flops + f * self.write + 1)
+
+
+class CompressedObjective(Objective):
+    """Base for objectives scoring a chi-capped compressed contraction."""
+
+    __slots__ = ("chi", "compress_late", "secondary_weight")
+    tracker_cls = None
+
+    def __init__(self, chi="auto", compress_late=False, secondary_weight=1e-3):
+        self.chi = chi
+        self.compress_late = compress_late
+        self.secondary_weight = secondary_weight
+
+    def get_compressed_stats_tracker(self, hg):
+        return self.tracker_cls(
+            hg, self.chi, secondary_weight=self.secondary_weight
+        )
+
+    def compute_compressed_stats(self, trial):
+        tree = trial["tree"]
+        return tree.compressed_contract_stats(
+            chi=self.chi, compress_late=self.compress_late
+        )
+
+
+class CompressedSizeObjective(CompressedObjective):
+    __slots__ = ()
+    tracker_cls = CompressedStatsTrackerSize
+
+    def __call__(self, trial):
+        stats = self.compute_compressed_stats(trial)
+        cr = (
+            math.log2(max(stats.max_size, 1))
+            + self.secondary_weight * math.log2(max(stats.flops, 1))
+            + self.secondary_weight * math.log2(max(stats.write, 1))
+        )
+        trial["size"] = stats.max_size
+        trial["flops"] = stats.flops
+        trial["write"] = stats.write
+        return cr
+
+
+class CompressedPeakObjective(CompressedObjective):
+    __slots__ = ()
+    tracker_cls = CompressedStatsTrackerPeak
+
+    def __call__(self, trial):
+        stats = self.compute_compressed_stats(trial)
+        cr = (
+            math.log2(max(stats.peak_size, 1))
+            + self.secondary_weight * math.log2(max(stats.flops, 1))
+            + self.secondary_weight * math.log2(max(stats.write, 1))
+        )
+        trial["size"] = stats.peak_size
+        trial["flops"] = stats.flops
+        trial["write"] = stats.write
+        return cr
+
+
+class CompressedWriteObjective(CompressedObjective):
+    __slots__ = ()
+    tracker_cls = CompressedStatsTrackerWrite
+
+    def __call__(self, trial):
+        stats = self.compute_compressed_stats(trial)
+        cr = (
+            math.log2(max(stats.write, 1))
+            + self.secondary_weight * math.log2(max(stats.flops, 1))
+            + self.secondary_weight * math.log2(max(stats.peak_size, 1))
+        )
+        trial["size"] = stats.write
+        trial["flops"] = stats.flops
+        trial["write"] = stats.write
+        return cr
+
+
+class CompressedFlopsObjective(CompressedObjective):
+    __slots__ = ()
+    tracker_cls = CompressedStatsTrackerFlops
+
+    def __call__(self, trial):
+        stats = self.compute_compressed_stats(trial)
+        cr = (
+            math.log2(max(stats.flops, 1))
+            + self.secondary_weight * math.log2(max(stats.write, 1))
+            + self.secondary_weight * math.log2(max(stats.peak_size, 1))
+        )
+        trial["size"] = stats.max_size
+        trial["flops"] = stats.flops
+        trial["write"] = stats.write
+        return cr
+
+
+class CompressedComboObjective(CompressedObjective):
+    __slots__ = ("factor",)
+    tracker_cls = CompressedStatsTrackerCombo
+
+    def __init__(self, chi="auto", compress_late=False, factor=DEFAULT_COMBO_FACTOR):
+        self.factor = factor
+        super().__init__(chi=chi, compress_late=compress_late)
+
+    def get_compressed_stats_tracker(self, hg):
+        return CompressedStatsTrackerCombo(
+            hg, self.chi, factor=self.factor
+        )
+
+    def __call__(self, trial):
+        stats = self.compute_compressed_stats(trial)
+        cr = math.log2(max(stats.flops + self.factor * stats.write, 1))
+        trial["size"] = stats.max_size
+        trial["flops"] = stats.flops
+        trial["write"] = stats.write
+        return cr
+
+
 # -- string spec parsing -----------------------------------------------------
 
 _OBJECTIVE_RE = re.compile(
-    r"^(?P<name>flops|write|size|combo|limit)"
+    r"^(?P<name>"
+    r"flops|write|size|combo|limit|"
+    r"flops-compressed|size-compressed|max-compressed|"
+    r"peak-compressed|write-compressed|combo-compressed"
+    r")"
     r"(?:[-:](?P<factor>[\d.]+))?$"
 )
 
@@ -286,9 +575,116 @@ def parse_minimize(minimize):
         f = float(factor) if factor is not None else DEFAULT_COMBO_FACTOR
         f = int(f) if f == int(f) else f
         return LimitObjective(factor=f)
+
+    # compressed objectives: the factor slot is the chi value
+    chi = int(factor) if factor is not None else "auto"
+    if name in ("max-compressed", "size-compressed"):
+        return CompressedSizeObjective(chi=chi)
+    if name == "peak-compressed":
+        return CompressedPeakObjective(chi=chi)
+    if name == "write-compressed":
+        return CompressedWriteObjective(chi=chi)
+    if name == "flops-compressed":
+        return CompressedFlopsObjective(chi=chi)
+    if name == "combo-compressed":
+        return CompressedComboObjective(chi=chi)
     raise ValueError(minimize)
 
 
 def get_score_fn(minimize):
     """Alias of :func:`parse_minimize` (reference ``scoring.py:880``)."""
     return parse_minimize(minimize)
+
+
+# -- multi-contraction scoring ------------------------------------------------
+#
+# For amortized batches of index configurations sharing one network (e.g.
+# VMC amplitudes): each node's cost is multiplied by the expected number of
+# distinct configurations of its variable indices (reference
+# ``scoring.py:892-963``).
+
+
+class MultiObjective(Objective):
+    __slots__ = ("num_configs",)
+
+    def __init__(self, num_configs):
+        self.num_configs = num_configs
+
+    def compute_mult(self, dims):
+        raise NotImplementedError
+
+    def estimate_node_mult(self, tree, node):
+        return self.compute_mult(
+            [tree.size_dict[ix] for ix in tree.get_node_var_inds(node)]
+        )
+
+    def estimate_node_cache_mult(self, tree, node, sliced_ind_ordering):
+        node_var_inds = tree.get_node_var_inds(node)
+        non_heavy = [
+            ix
+            for ix in node_var_inds
+            if ix not in sliced_ind_ordering[: len(node_var_inds)]
+        ]
+        return self.compute_mult(
+            [tree.size_dict[ix] for ix in non_heavy]
+        )
+
+    def __call__(self, trial):
+        ensure_basic_quantities(trial)
+        return math.log2(trial["flops"]) + 1e-3 * math.log2(
+            trial["size"]
+        )
+
+
+class MultiObjectiveDense(MultiObjective):
+    """Every configuration of the variable indices occurs."""
+
+    __slots__ = ()
+
+    def compute_mult(self, dims):
+        p = 1
+        for d in dims:
+            p *= d
+        return p
+
+
+def expected_coupons(num_sub, num_total):
+    """Expected number of unique 'coupons' after ``num_total`` uniform
+    draws from ``num_sub`` possibilities."""
+    return num_sub * (1 - (1 - 1 / num_sub) ** num_total)
+
+
+class MultiObjectiveUniform(MultiObjective):
+    """Configurations drawn uniformly at random."""
+
+    __slots__ = ()
+
+    def compute_mult(self, dims):
+        p = 1
+        for d in dims:
+            p *= d
+        return expected_coupons(p, self.num_configs)
+
+
+class MultiObjectiveLinear(MultiObjective):
+    """Number of distinct configurations grows linearly with the number of
+    variable indices (locally-connected / VMC-like)."""
+
+    __slots__ = ("coeff",)
+
+    def __init__(self, num_configs, coeff=1):
+        self.coeff = coeff
+        super().__init__(num_configs=num_configs)
+
+    def compute_mult(self, dims):
+        return min(self.coeff * len(dims), self.num_configs)
+
+
+def get_multi_objective(strategy, num_configs, **kwargs):
+    if isinstance(strategy, MultiObjective):
+        return strategy
+    return {
+        "dense": MultiObjectiveDense,
+        "uniform": MultiObjectiveUniform,
+        "linear": MultiObjectiveLinear,
+    }[strategy](num_configs, **kwargs)

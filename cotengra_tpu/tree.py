@@ -197,7 +197,7 @@ class ContractionTree:
         return len(self.children) == self.N - 1 and self.root in self.children
 
     def copy(self):
-        new = object.__new__(ContractionTree)
+        new = object.__new__(type(self))
         new.inputs = self.inputs
         new.output = self.output
         new.size_dict = self.size_dict.copy()
@@ -357,6 +357,7 @@ class ContractionTree:
             # so untrack the old entry first
             self._remove_node(parent)
         self.children[parent] = (l, r) if l.bit_count() >= r.bit_count() else (r, l)
+        self.__dict__.pop("_surface_seq", None)
         if self.track_childless:
             self.childless.discard(parent)
             if l.bit_count() > 1 and l not in self.children:
@@ -525,6 +526,9 @@ class ContractionTree:
                 l, r = self.children[parent]
                 yield parent, l, r
             return
+
+        if isinstance(order, str):
+            order = self._resolve_order(order)
 
         # priority-based valid topological order
         import heapq
@@ -1028,6 +1032,175 @@ class ContractionTree:
         subtree_reconfigure, inplace=True
     )
 
+    def subtree_reconfigure_forest(
+        self,
+        num_trees=8,
+        num_restarts=10,
+        restart_fraction=0.5,
+        subtree_maxiter=100,
+        subtree_size=10,
+        minimize=None,
+        seed=None,
+        parallel=False,
+        progbar=False,
+        inplace=False,
+    ):
+        """Population ('forest') variant of subtree reconfiguration: evolve
+        ``num_trees`` independently randomized reconfigurations per round,
+        prune to the best and restart (reference ``core.py:2451-2621``).
+        """
+        from .parallel.pools import parse_parallel_arg, submit
+
+        objective = parse_minimize(
+            minimize if minimize is not None else self._objective
+        )
+        rng = get_rng(seed)
+        pool = parse_parallel_arg(parallel)
+
+        def tree_score(t):
+            from .scoring import ensure_basic_quantities
+
+            trial = {"tree": t}
+            ensure_basic_quantities(trial)
+            return objective(trial)
+
+        population = [self.copy()]
+        for _ in range(num_restarts):
+            # breed: randomized reconfigure jobs from current population
+            jobs = []
+            for k in range(num_trees):
+                parent = population[k % len(population)]
+                opts = dict(
+                    subtree_size=subtree_size,
+                    maxiter=subtree_maxiter,
+                    select=rng.choice(["max", "min", "random"]),
+                    subtree_search=rng.choice(["bfs", "dfs", "random"]),
+                    seed=rng.randrange(2**32),
+                    minimize=minimize,
+                )
+                if pool is None:
+                    jobs.append(parent.subtree_reconfigure(**opts))
+                else:
+                    jobs.append(
+                        submit(
+                            pool, _reconfigure_job, parent, opts
+                        )
+                    )
+            if pool is not None:
+                jobs = [j.result() for j in jobs]
+            population.extend(jobs)
+            population.sort(key=tree_score)
+            keep = max(1, int(num_trees * restart_fraction))
+            del population[keep:]
+
+        best = population[0]
+        if tree_score(best) > tree_score(self):
+            best = self
+        if inplace:
+            if best is not self:
+                self._adopt(best)
+            return self
+        return best.copy() if best is self else best
+
+    subtree_reconfigure_forest_ = functools.partialmethod(
+        subtree_reconfigure_forest, inplace=True
+    )
+
+    def slice_and_reconfigure_forest(
+        self,
+        target_size,
+        step_size=2,
+        num_trees=8,
+        num_restarts=10,
+        restart_fraction=0.5,
+        reconf_opts=None,
+        minimize=None,
+        seed=None,
+        parallel=False,
+        progbar=False,
+        inplace=False,
+    ):
+        """Forest variant of slice-and-reconfigure: a population explores
+        different slicing choices in parallel, pruned each round
+        (reference ``core.py:2810-2983``).
+        """
+        from .parallel.pools import parse_parallel_arg, submit
+
+        objective = parse_minimize(
+            minimize if minimize is not None else self._objective
+        )
+        rng = get_rng(seed)
+        pool = parse_parallel_arg(parallel)
+        reconf_opts = dict(reconf_opts or {})
+        reconf_opts.setdefault("minimize", minimize)
+
+        def tree_score(t):
+            from .scoring import ensure_basic_quantities
+
+            trial = {"tree": t}
+            ensure_basic_quantities(trial)
+            return objective(trial)
+
+        population = [self.copy()]
+        while any(t.max_size() > target_size for t in population):
+            jobs = []
+            for k in range(num_trees):
+                parent = population[k % len(population)]
+                opts = dict(
+                    target_size=target_size,
+                    step_size=step_size,
+                    temperature=0.01 * 10 ** rng.uniform(-1, 1),
+                    max_repeats=8,
+                    reconf_opts=reconf_opts,
+                    minimize=minimize,
+                )
+                if pool is None:
+                    jobs.append(
+                        _slice_reconf_step(parent, opts, rng.randrange(2**32))
+                    )
+                else:
+                    jobs.append(
+                        submit(
+                            pool,
+                            _slice_reconf_step,
+                            parent,
+                            opts,
+                            rng.randrange(2**32),
+                        )
+                    )
+            if pool is not None:
+                jobs = [j.result() for j in jobs]
+            population = sorted(jobs, key=tree_score)
+            keep = max(1, int(num_trees * restart_fraction))
+            del population[keep:]
+
+        best = population[0]
+        if inplace:
+            self._adopt(best)
+            return self
+        return best
+
+    slice_and_reconfigure_forest_ = functools.partialmethod(
+        slice_and_reconfigure_forest, inplace=True
+    )
+
+    def _adopt(self, other):
+        """Take over another tree's structure/state (same inputs)."""
+        self.children = other.children
+        self._legs = other._legs
+        self._involved = other._involved
+        self._size = other._size
+        self._flops = other._flops
+        self._tracked = other._tracked
+        self._tot_flops = other._tot_flops
+        self._tot_write = other._tot_write
+        self._sizes = other._sizes
+        self.sliced_inds = other.sliced_inds
+        self.sliced_inputs = other.sliced_inputs
+        self.multiplicity = other.multiplicity
+        self.already_optimized = {}
+        self.contraction_cores = {}
+
     # -- hypergraph / misc -------------------------------------------------------
 
     def get_hypergraph(self, accel=False):
@@ -1035,6 +1208,131 @@ class ContractionTree:
 
         return get_hypergraph(
             self.inputs, self.output, self.size_dict, accel=accel
+        )
+
+    # -- compressed (chi-capped) cost modeling -----------------------------------
+
+    def get_default_chi(self):
+        return max(self.size_dict.values(), default=2) ** 2
+
+    def get_default_compress_late(self):
+        return False
+
+    def surface_order(self, node):
+        """Ordering key giving the 'surface order' - the order contractions
+        were added to the tree (matching the generating path), which is the
+        natural sweep order for compressed contraction.
+        """
+        try:
+            return self._surface_seq[node]
+        except (AttributeError, KeyError):
+            # fall back: creation order of the children dict
+            self._surface_seq = {
+                n: i for i, n in enumerate(self.children)
+            }
+            return self._surface_seq.get(node, len(self._surface_seq))
+
+    def _resolve_order(self, order):
+        if order == "surface_order":
+            return self.surface_order
+        return order
+
+    def compressed_contract_stats(
+        self,
+        chi=None,
+        order="surface_order",
+        compress_late=None,
+        tracker_cls=None,
+    ):
+        """Replay the contraction on a hypergraph with chi-capped
+        ``compress()`` steps, returning the stats tracker (reference
+        ``core.py:1402-1446``).
+        """
+        from .scoring import CompressedStatsTracker
+
+        if chi is None or chi == "auto":
+            chi = self.get_default_chi()
+        if compress_late is None:
+            compress_late = self.get_default_compress_late()
+        if tracker_cls is None:
+            tracker_cls = CompressedStatsTracker
+
+        hg = self.get_hypergraph(accel="auto")
+        tree_map = dict(
+            zip(self.gen_leaves(), range(hg.get_num_nodes()))
+        )
+        tracker = tracker_cls(hg, chi)
+
+        for p, l, r in self.traverse(self._resolve_order(order)):
+            li = tree_map[l]
+            ri = tree_map[r]
+            tracker.update_pre_step()
+            if compress_late:
+                tracker.update_pre_compress(hg, li, ri)
+                hg.compress(chi=chi, edges=hg.get_node(li))
+                hg.compress(chi=chi, edges=hg.get_node(ri))
+                tracker.update_post_compress(hg, li, ri)
+            tracker.update_pre_contract(hg, li, ri)
+            pi = tree_map[p] = hg.contract(li, ri)
+            tracker.update_post_contract(hg, pi)
+            if not compress_late:
+                tracker.update_pre_compress(hg, pi)
+                hg.compress(chi=chi, edges=hg.get_node(pi))
+                tracker.update_post_compress(hg, pi)
+            tracker.update_post_step()
+
+        return tracker
+
+    def total_flops_compressed(self, chi=None, order="surface_order",
+                               compress_late=None, log=None):
+        C = self.compressed_contract_stats(
+            chi, order, compress_late
+        ).flops
+        if log is not None:
+            C = math.log(max(C, 1), log)
+        return C
+
+    def total_write_compressed(self, chi=None, order="surface_order",
+                               compress_late=None, log=None):
+        W = self.compressed_contract_stats(
+            chi, order, compress_late
+        ).write
+        if log is not None:
+            W = math.log(max(W, 1), log)
+        return W
+
+    def max_size_compressed(self, chi=None, order="surface_order",
+                            compress_late=None, log=None):
+        S = self.compressed_contract_stats(
+            chi, order, compress_late
+        ).max_size
+        if log is not None:
+            S = math.log(max(S, 1), log)
+        return S
+
+    def peak_size_compressed(self, chi=None, order="surface_order",
+                             compress_late=None, log=None):
+        P = self.compressed_contract_stats(
+            chi, order, compress_late
+        ).peak_size
+        if log is not None:
+            P = math.log(max(P, 1), log)
+        return P
+
+    def total_cost_compressed(self, chi=None, order="surface_order",
+                              compress_late=None,
+                              factor=DEFAULT_COMBO_FACTOR, log=None):
+        stats = self.compressed_contract_stats(chi, order, compress_late)
+        t = stats.flops + factor * stats.write
+        if log is not None:
+            t = math.log(max(t, 1), log)
+        return t
+
+    def contraction_width_compressed(self, chi=None,
+                                     order="surface_order",
+                                     compress_late=None, log=2):
+        return self.max_size_compressed(
+            chi, order, compress_late, log=log
         )
 
     # -- execution (delegates to cotengra_tpu.ops) --------------------------------
@@ -1146,6 +1444,34 @@ class ContractionTree:
             f"<{self.__class__.__name__}(N={self.N}, "
             f"{self.describe('concise', join=', ')})>"
         )
+
+
+def _reconfigure_job(tree, opts):
+    """Top-level (picklable) forest-reconfigure worker."""
+    return tree.subtree_reconfigure(**opts)
+
+
+def _slice_reconf_step(tree, opts, seed):
+    """Top-level (picklable) forest slice-and-reconfigure worker: one
+    slicing step + repair on a copy.
+    """
+    t = tree.copy()
+    opts = dict(opts)
+    target_size = opts.pop("target_size")
+    step_size = opts.pop("step_size")
+    reconf_opts = opts.pop("reconf_opts")
+    if t.max_size() > target_size:
+        t.slice_(
+            target_slices=step_size,
+            temperature=opts.get("temperature", 0.01),
+            max_repeats=opts.get("max_repeats", 8),
+            minimize=opts.get("minimize"),
+            seed=seed,
+        )
+        t.subtree_reconfigure_(
+            **{k: v for k, v in reconf_opts.items() if v is not None}
+        )
+    return t
 
 
 # -- path format conversion ------------------------------------------------

@@ -1,0 +1,144 @@
+"""Compressed (chi-capped) cost model, compressed pathfinders, multi
+trees (mirrors reference ``tests/test_compressed.py``).
+"""
+
+import pytest
+
+import cotengra_tpu as ctg
+from cotengra_tpu.scoring import parse_minimize
+from cotengra_tpu.tree_compressed import ContractionTreeCompressed
+from cotengra_tpu.tree_multi import ContractionTreeMulti
+
+
+def lattice_tree(chi=16, seed=0, cls=ContractionTreeCompressed):
+    inputs, output, shapes, size_dict = ctg.lattice_equation(
+        [5, 6], d_min=4
+    )
+    ssa = ctg.optimize_greedy(
+        inputs, output, size_dict, use_ssa=True, seed=seed
+    )
+    return cls.from_path(inputs, output, size_dict, ssa_path=ssa)
+
+
+def test_compressed_stats_bounded_by_exact():
+    tree = lattice_tree()
+    # chi-capped sizes can never exceed the exact ones (flops CAN, since
+    # compressed flops include the QR/compression work)
+    assert tree.max_size(chi=4) <= tree.max_size_exact()
+    assert tree.total_flops(chi=4) > 0
+
+
+def test_compressed_chi_monotone():
+    tree = lattice_tree()
+    p4 = tree.peak_size(chi=4)
+    p16 = tree.peak_size(chi=16)
+    p_inf = tree.peak_size(chi=10**9)
+    assert p4 <= p16 <= p_inf
+
+
+def test_compressed_objective_parsing():
+    for spec, attr in [
+        ("peak-compressed", "peak_size"),
+        ("peak-compressed-16", "peak_size"),
+        ("max-compressed-8", "max_size"),
+        ("size-compressed", "max_size"),
+        ("write-compressed-4", "write"),
+        ("flops-compressed", "flops"),
+        ("combo-compressed-32", "flops"),
+    ]:
+        obj = parse_minimize(spec)
+        tree = lattice_tree()
+        trial = {"tree": tree}
+        score = obj(trial)
+        assert score > 0
+        assert trial["flops"] > 0
+
+
+def test_compressed_refuses_exact_contraction():
+    tree = lattice_tree()
+    with pytest.raises(NotImplementedError):
+        tree.contract([])
+
+
+def test_greedy_compressed_pathfinders():
+    inputs, output, shapes, size_dict = ctg.lattice_equation(
+        [5, 5], d_min=3
+    )
+    for preset in ("greedy-compressed", "greedy-span"):
+        tree = ctg.array_contract_tree(
+            inputs, output, size_dict=size_dict, optimize=preset
+        )
+        assert isinstance(tree, ContractionTreeCompressed)
+        assert tree.is_complete()
+
+
+def test_hyper_compressed_beats_single_trial():
+    inputs, output, shapes, size_dict = ctg.lattice_equation(
+        [5, 5], d_min=3
+    )
+    opt = ctg.HyperCompressedOptimizer(
+        chi=9, max_repeats=10, seed=0, on_trial_error="raise"
+    )
+    tree = opt.search(inputs, output, size_dict)
+    assert opt.best_score <= max(
+        t["score"] for t in opt.trials if t["score"] < float("inf")
+    )
+    assert isinstance(tree, ContractionTreeCompressed)
+
+
+def test_windowed_reconfigure_improves_or_keeps():
+    tree = lattice_tree(seed=3)
+    s0 = tree.compressed_contract_stats(chi=8).peak_size
+    t2 = tree.windowed_reconfigure(
+        minimize="peak-compressed-8", max_iterations=30, seed=0
+    )
+    s1 = t2.compressed_contract_stats(chi=8).peak_size
+    assert s1 <= s0
+
+
+def test_multi_tree_costs():
+    inputs, output, shapes, size_dict = ctg.rand_equation(14, 3, seed=1)
+    var_inds = sorted(size_dict)[:4]
+    ssa = ctg.optimize_greedy(inputs, output, size_dict, use_ssa=True)
+    mt = ContractionTreeMulti.from_path(
+        inputs, output, size_dict, ssa_path=ssa
+    )
+    mt.sliced_inds = {ix: None for ix in var_inds}
+
+    from cotengra_tpu.scoring import get_multi_objective
+
+    # dense >= uniform multiplicities
+    mt.set_default_objective(get_multi_objective("dense", 64))
+    dense_flops = mt.total_flops()
+    mt._mult_cache.clear()
+    mt._tracked = False
+    mt.set_default_objective(get_multi_objective("uniform", 64))
+    uniform_flops = mt.total_flops()
+    assert dense_flops >= uniform_flops
+
+    # exact simulation on a config batch gives finite sensible numbers
+    import random
+
+    rng = random.Random(0)
+    configs = [
+        {ix: rng.randrange(size_dict[ix]) for ix in var_inds}
+        for _ in range(16)
+    ]
+    stats = mt.exact_multi_stats(configs)
+    assert stats["flops"] > 0
+    assert stats["peak"] >= stats["size"]
+
+
+def test_hyper_multi_optimizer():
+    inputs, output, shapes, size_dict = ctg.rand_equation(12, 3, seed=2)
+    var_inds = sorted(size_dict)[:3]
+    opt = ctg.HyperMultiOptimizer(
+        varmults=var_inds,
+        numconfigs=32,
+        max_repeats=6,
+        seed=0,
+        on_trial_error="raise",
+    )
+    tree = opt.search(inputs, output, size_dict)
+    assert isinstance(tree, ContractionTreeMulti)
+    assert tree.total_flops() > 0
