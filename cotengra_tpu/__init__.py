@@ -88,6 +88,42 @@ from .hyper import register_hyper_presets as _register_hyper_presets
 
 _register_hyper_presets()
 
+# optional integrations: external TD solvers, native partitioners,
+# opt_einsum preset registration - all no-ops when unavailable
+from .pathfinders.external import (
+    FlowCutterOptimizer,
+    QuickBBOptimizer,
+    optimize_flowcutter,
+    optimize_quickbb,
+    register_external_presets,
+)
+from .pathfinders.kahypar import register_kahypar_hyper_methods
+from .pathfinders.igraph import register_igraph_hyper_methods
+from .oe import OEPathOptimizer, register_opt_einsum_presets
+
+register_external_presets()
+register_kahypar_hyper_methods()
+register_igraph_hyper_methods()
+
+from .plot import (
+    plot_contractions,
+    plot_hypergraph,
+    plot_scatter,
+    plot_slicings,
+    plot_tree,
+    plot_tree_ring,
+    plot_tree_span,
+    plot_tree_tent,
+    plot_trials,
+    tree_to_df,
+    tree_to_networkx,
+)
+from .plot import _attach_plot_methods
+
+_attach_plot_methods()
+
+from .utils.io import hash_contraction_b, load_instance, save_instance
+
 __all__ = [
     "array_contract",
     "array_contract_expression",

@@ -56,6 +56,24 @@ def _hyper_ssa_labels(inputs, output, size_dict, **params):
     )
 
 
+def _hyper_ssa_labels_agglom(inputs, output, size_dict, **params):
+    from ..pathfinders.labels import optimize_labels_agglom
+
+    return optimize_labels_agglom(
+        inputs, output, size_dict, use_ssa=True, **params
+    )
+
+
+register_hyper_function(
+    "labels-agglom",
+    _hyper_ssa_labels_agglom,
+    space={
+        "groupsize": {"type": "INT", "min": 2, "max": 12},
+        "balance_pow": {"type": "FLOAT", "min": 0.5, "max": 4.0},
+    },
+)
+
+
 register_hyper_function(
     "labels",
     _hyper_ssa_labels,

@@ -160,6 +160,63 @@ def partition_tree_build(
     return tree
 
 
+def partition_tree_build_agglom(
+    inputs,
+    output,
+    size_dict,
+    partition_fn,
+    groupsize=4,
+    sub_optimize="greedy",
+    seed=None,
+    check=False,
+):
+    """Bottom-up agglomerative tree building: repeatedly partition the
+    current (coarse) nodes into many small groups and contract each group
+    (reference ``PartitionTreeBuilder.build_agglom``, ``core.py:4551``).
+    """
+    rng = get_rng(seed)
+    tree = ContractionTree(inputs, output, size_dict)
+    current = [tree.leaf(i) for i in range(len(inputs))]
+
+    while len(current) > 1:
+        k = max(2, len(current) // groupsize)
+        if len(current) <= groupsize or k < 2:
+            tree.contract_nodes(
+                current, optimize=sub_optimize, check=check
+            )
+            break
+        # coarse terms = effective legs of each current node
+        coarse_terms = [tuple(tree.get_legs(n)) for n in current]
+        membership = partition_fn(
+            list(range(len(coarse_terms))),
+            coarse_terms,
+            size_dict,
+            parts=k,
+            seed=rng.randrange(2**32),
+        )
+        groups = collections.defaultdict(list)
+        for n, m in zip(current, membership):
+            groups[m].append(n)
+        nxt = []
+        for group in groups.values():
+            if len(group) == 1:
+                nxt.append(group[0])
+            else:
+                nxt.append(
+                    tree.contract_nodes(
+                        group, optimize=sub_optimize, check=check
+                    )
+                )
+        if len(nxt) == len(current):
+            # no progress - merge the two smallest
+            nxt.sort(key=tree.get_size)
+            merged = tree.contract_nodes_pair(nxt[0], nxt[1])
+            nxt = [merged] + nxt[2:]
+        current = nxt
+
+    return tree
+
+
 def optimize_labels(
     inputs,
     output,
@@ -192,6 +249,44 @@ def optimize_labels(
         partition_fn,
         parts=parts,
         cutoff=cutoff,
+        sub_optimize=sub_optimize,
+        seed=seed,
+    )
+    if use_ssa:
+        return tree.get_ssa_path()
+    return tree.get_path()
+
+
+def optimize_labels_agglom(
+    inputs,
+    output,
+    size_dict,
+    groupsize=4,
+    balance_pow=2.0,
+    maxiter=20,
+    sub_optimize="greedy",
+    seed=None,
+    use_ssa=False,
+):
+    """Agglomerative (bottom-up) labels-partition pathfinder."""
+
+    def partition_fn(subset, terms, size_dict_, parts, seed):
+        return label_propagation_partition(
+            subset,
+            terms,
+            size_dict_,
+            parts=parts,
+            maxiter=maxiter,
+            balance_pow=balance_pow,
+            seed=seed,
+        )
+
+    tree = partition_tree_build_agglom(
+        inputs,
+        output,
+        size_dict,
+        partition_fn,
+        groupsize=groupsize,
         sub_optimize=sub_optimize,
         seed=seed,
     )

@@ -1,0 +1,344 @@
+"""Visualization: contraction trees, per-step cost curves, slicing
+trade-offs, hyper-optimizer trials, hypergraphs.
+
+Matplotlib implementations of the reference's main plotting surface
+(``cotengra/plot.py``): ``plot_tree`` (ring / tent / span layouts),
+``plot_contractions``, ``plot_slicings``, ``plot_trials``,
+``plot_scatter``, ``plot_hypergraph``, plus the data-export hooks
+``tree_to_networkx`` and ``tree_to_df`` that downstream tools build on.
+"""
+
+import collections
+import math
+
+
+def _get_plt():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+# -- data exports -------------------------------------------------------------
+
+
+def tree_to_networkx(tree):
+    """Export the binary contraction tree as a networkx DiGraph with
+    per-node ``size``/``flops``/``extent`` attributes.
+    """
+    import networkx as nx
+
+    G = nx.DiGraph()
+    for leaf in tree.gen_leaves():
+        G.add_node(
+            leaf,
+            size=tree.get_size(leaf),
+            flops=0,
+            extent=1,
+            leaf=True,
+        )
+    for p, l, r in tree.traverse():
+        G.add_node(
+            p,
+            size=tree.get_size(p),
+            flops=tree.get_flops(p),
+            extent=p.bit_count(),
+            leaf=False,
+        )
+        G.add_edge(l, p)
+        G.add_edge(r, p)
+    return G
+
+
+def tree_to_df(tree):
+    """Export per-contraction stats as a pandas DataFrame."""
+    import pandas as pd
+
+    rows = []
+    peak = 0
+    cum_flops = 0
+    current = sum(tree.get_size(leaf) for leaf in tree.gen_leaves())
+    for i, (p, l, r) in enumerate(tree.traverse()):
+        f = tree.get_flops(p)
+        s = tree.get_size(p)
+        cum_flops += f
+        current += s
+        peak = max(peak, current)
+        rows.append(
+            {
+                "step": i,
+                "flops": f,
+                "cum_flops": cum_flops,
+                "size": s,
+                "peak_size": peak,
+                "extent": p.bit_count(),
+                "log10_flops": math.log10(max(f, 1)),
+                "log2_size": math.log2(max(s, 1)),
+            }
+        )
+        current -= tree.get_size(l) + tree.get_size(r)
+    return pd.DataFrame(rows)
+
+
+# -- tree layouts -------------------------------------------------------------
+
+
+def _leaf_angles(tree):
+    """Order leaves by the tree structure (dfs) for tidy layouts."""
+    order = []
+    stack = [tree.root]
+    while stack:
+        node = stack.pop()
+        if node.bit_count() == 1:
+            order.append(node)
+        elif node in tree.children:
+            l, r = tree.children[node]
+            stack.extend((l, r))
+        else:
+            order.extend(
+                1 << i for i in range(tree.N) if (node >> i) & 1
+            )
+    return order
+
+
+def _tree_positions(tree, layout="ring"):
+    leaves = _leaf_angles(tree)
+    n = len(leaves)
+    pos = {}
+    if layout == "ring":
+        for k, leaf in enumerate(leaves):
+            theta = 2 * math.pi * k / n
+            pos[leaf] = (math.cos(theta), math.sin(theta))
+    else:  # tent / span: leaves on a line
+        for k, leaf in enumerate(leaves):
+            pos[leaf] = (k / max(n - 1, 1), 0.0)
+
+    # internal nodes at (shrunk) centroids of their leaves
+    for p, l, r in tree.traverse():
+        xs, ys = zip(*(pos[1 << i] for i in range(tree.N) if (p >> i) & 1))
+        cx, cy = sum(xs) / len(xs), sum(ys) / len(ys)
+        if layout == "ring":
+            shrink = 1 - p.bit_count() / (tree.N + 1)
+            pos[p] = (cx * shrink, cy * shrink)
+        else:
+            height = p.bit_count() / tree.N
+            pos[p] = (cx, height)
+    return pos
+
+
+def plot_tree(
+    tree,
+    layout="ring",
+    ax=None,
+    figsize=(5, 5),
+    edge_scale=1.0,
+    node_scale=1.0,
+    **kwargs,
+):
+    """Draw the contraction tree: edge widths ~ log2 tensor size, node
+    sizes ~ log10 contraction cost.
+    """
+    plt = _get_plt()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=figsize)
+    else:
+        fig = ax.get_figure()
+
+    pos = _tree_positions(tree, layout=layout)
+    for p, l, r in tree.traverse():
+        for c in (l, r):
+            x0, y0 = pos[p]
+            x1, y1 = pos[c]
+            w = edge_scale * (
+                0.3 + 0.25 * math.log2(max(tree.get_size(c), 1))
+            )
+            ax.plot(
+                [x0, x1], [y0, y1], "-", color="#888888",
+                linewidth=w, zorder=1, solid_capstyle="round",
+            )
+    xs, ys, ss, cs = [], [], [], []
+    for p in tree.children:
+        x, y = pos[p]
+        xs.append(x)
+        ys.append(y)
+        ss.append(
+            node_scale
+            * (5 + 8 * math.log10(max(tree.get_flops(p), 1)))
+        )
+        cs.append(math.log10(max(tree.get_flops(p), 1)))
+    sc = ax.scatter(
+        xs, ys, s=ss, c=cs, cmap="viridis", zorder=2, **kwargs
+    )
+    lx, ly = zip(*(pos[leaf] for leaf in tree.gen_leaves()))
+    ax.scatter(lx, ly, s=8 * node_scale, color="#222222", zorder=3)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    return fig, ax
+
+
+def plot_tree_ring(tree, **kwargs):
+    return plot_tree(tree, layout="ring", **kwargs)
+
+
+def plot_tree_tent(tree, **kwargs):
+    return plot_tree(tree, layout="tent", **kwargs)
+
+
+def plot_tree_span(tree, **kwargs):
+    return plot_tree(tree, layout="span", **kwargs)
+
+
+def plot_contractions(tree, ax=None, figsize=(6, 3), order=None):
+    """Per-step curves: log10 flops, log2 written size, log2 peak."""
+    plt = _get_plt()
+    df = tree_to_df(tree)
+    if ax is None:
+        fig, ax = plt.subplots(figsize=figsize)
+    else:
+        fig = ax.get_figure()
+    ax.plot(df["step"], df["log10_flops"], label="log10[FLOPS]")
+    ax.plot(df["step"], df["log2_size"], label="log2[SIZE]")
+    ax.plot(
+        df["step"],
+        [math.log2(max(p, 1)) for p in df["peak_size"]],
+        label="log2[PEAK]",
+        linestyle="--",
+    )
+    ax.set_xlabel("contraction")
+    ax.legend(fontsize=7)
+    return fig, ax
+
+
+def plot_slicings(
+    slice_finder, ax=None, figsize=(6, 3), color_scheme="viridis"
+):
+    """Scatter of the slicing trade-off frontier explored by a
+    SliceFinder: number of slices vs total cost."""
+    plt = _get_plt()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=figsize)
+    else:
+        fig = ax.get_figure()
+    # run a sweep of trials at increasing temperature
+    xs, ys = [], []
+    for _ in range(16):
+        costs, _inds = slice_finder.trial()
+        xs.append(max(costs.nslices, 1))
+        ys.append(costs.nslices * costs.total_flops)
+    ax.scatter(
+        [math.log2(x) for x in xs],
+        [math.log10(max(y, 1)) for y in ys],
+        c=range(len(xs)),
+        cmap=color_scheme,
+    )
+    ax.set_xlabel("log2[NSLICES]")
+    ax.set_ylabel("log10[FLOPS]")
+    return fig, ax
+
+
+def plot_trials(opt, y="score", ax=None, figsize=(6, 3)):
+    """Hyper-optimizer trial history, colored by method, with running
+    best overlaid."""
+    plt = _get_plt()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=figsize)
+    else:
+        fig = ax.get_figure()
+    methods = sorted({t["method"] for t in opt.trials})
+    cmap = plt.get_cmap("tab10")
+    series = collections.defaultdict(lambda: ([], []))
+    best = []
+    cur = float("inf")
+    for i, t in enumerate(opt.trials):
+        v = t.get(y, float("inf"))
+        if v != float("inf"):
+            xs, ys = series[t["method"]]
+            xs.append(i)
+            ys.append(v)
+            cur = min(cur, v)
+        best.append(cur)
+    for k, m in enumerate(methods):
+        xs, ys = series[m]
+        ax.scatter(xs, ys, s=12, color=cmap(k % 10), label=m)
+    ax.plot(range(len(best)), best, color="#333333", linewidth=1)
+    ax.set_xlabel("trial")
+    ax.set_ylabel(y)
+    ax.legend(fontsize=7)
+    return fig, ax
+
+
+def plot_scatter(opt, x="size", y="flops", ax=None, figsize=(5, 4)):
+    """Scatter of all trials in (log2 size, log10 flops) space."""
+    plt = _get_plt()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=figsize)
+    else:
+        fig = ax.get_figure()
+    methods = sorted({t["method"] for t in opt.trials})
+    cmap = plt.get_cmap("tab10")
+    for k, m in enumerate(methods):
+        xs = [
+            math.log2(max(t[x], 1))
+            for t in opt.trials
+            if t["method"] == m and t.get(x, float("inf")) != float("inf")
+        ]
+        ys = [
+            math.log10(max(t[y], 1))
+            for t in opt.trials
+            if t["method"] == m and t.get(y, float("inf")) != float("inf")
+        ]
+        ax.scatter(xs, ys, s=12, color=cmap(k % 10), label=m)
+    ax.set_xlabel(f"log2[{x.upper()}]")
+    ax.set_ylabel(f"log10[{y.upper()}]")
+    ax.legend(fontsize=7)
+    return fig, ax
+
+
+def plot_hypergraph(hg, ax=None, figsize=(5, 5), **layout_opts):
+    """Draw a hypergraph: tensors as dots, hyperedges as star nodes."""
+    import networkx as nx
+
+    plt = _get_plt()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=figsize)
+    else:
+        fig = ax.get_figure()
+    G = hg.to_networkx()
+    pos = nx.spring_layout(G, seed=42, **layout_opts)
+    hyper = [n for n, d in G.nodes(data=True) if d.get("hyperedge")]
+    plain = [n for n, d in G.nodes(data=True) if not d.get("hyperedge")]
+    nx.draw_networkx_edges(G, pos, ax=ax, alpha=0.5)
+    nx.draw_networkx_nodes(
+        G, pos, nodelist=plain, node_size=30, node_color="#4477aa",
+        ax=ax,
+    )
+    if hyper:
+        nx.draw_networkx_nodes(
+            G, pos, nodelist=hyper, node_size=10,
+            node_color="#cc6677", node_shape="s", ax=ax,
+        )
+    ax.axis("off")
+    return fig, ax
+
+
+def _attach_plot_methods():
+    """Bind plotting methods onto the main classes (parity with the
+    reference's ``tree.plot_*`` methods)."""
+    from .hyper import HyperOptimizer
+    from .hypergraph import HyperGraph
+    from .slicing import SliceFinder
+    from .tree import ContractionTree
+
+    ContractionTree.plot_tree = plot_tree
+    ContractionTree.plot_ring = plot_tree_ring
+    ContractionTree.plot_tent = plot_tree_tent
+    ContractionTree.plot_span = plot_tree_span
+    ContractionTree.plot_contractions = plot_contractions
+    ContractionTree.to_networkx = tree_to_networkx
+    ContractionTree.to_df = tree_to_df
+    HyperOptimizer.plot_trials = plot_trials
+    HyperOptimizer.plot_scatter = plot_scatter
+    SliceFinder.plot_slicings = plot_slicings
+    HyperGraph.plot = plot_hypergraph

@@ -1398,6 +1398,29 @@ class ContractionTree:
 
     # -- output -----------------------------------------------------------------
 
+    def print_contractions(self, sort=None, show_brackets=True):
+        """Pretty-print every contraction step: indices, sizes and cost
+        (reference ``core.py:3508``).
+        """
+        from .utils.symbols import get_symbol_map
+
+        symmap = get_symbol_map(
+            list(self.inputs) + [tuple(self.output)]
+        )
+        steps = list(self.traverse())
+        if sort == "flops":
+            steps.sort(key=lambda plr: -self.get_flops(plr[0]))
+        for i, (p, l, r) in enumerate(steps):
+            l_str = "".join(symmap.get(ix, "?") for ix in self.get_legs(l))
+            r_str = "".join(symmap.get(ix, "?") for ix in self.get_legs(r))
+            p_str = "".join(symmap.get(ix, "?") for ix in self.get_legs(p))
+            print(
+                f"({i + 1:>3}) {l_str or '·'},{r_str or '·'}->"
+                f"{p_str or '·'}  "
+                f"size=2^{math.log2(max(self.get_size(p), 1)):.1f} "
+                f"flops=10^{math.log10(max(self.get_flops(p), 1)):.2f}"
+            )
+
     def describe(self, info="normal", join=" "):
         self.contract_stats()
         if info == "normal":

@@ -1,0 +1,171 @@
+"""opt_einsum interop, plotting smoke tests, instance IO, hashing,
+external solver formats, agglomerative partitioning.
+"""
+
+import io
+import math
+
+import numpy as np
+import pytest
+
+import cotengra_tpu as ctg
+
+
+def test_opt_einsum_interop():
+    oe = pytest.importorskip("opt_einsum")
+    from cotengra_tpu.oe import OEPathOptimizer
+
+    rng = np.random.default_rng(0)
+    x, y, z = (
+        rng.normal(size=(8, 9)),
+        rng.normal(size=(9, 10)),
+        rng.normal(size=(10, 8)),
+    )
+    opt = OEPathOptimizer(ctg.GreedyOptimizer())
+    got = oe.contract("ab,bc,ca->", x, y, z, optimize=opt)
+    np.testing.assert_allclose(
+        got, np.einsum("ab,bc,ca->", x, y, z), rtol=1e-8
+    )
+
+
+def test_opt_einsum_preset_registration():
+    oe = pytest.importorskip("opt_einsum")
+    names = ctg.register_opt_einsum_presets()
+    # (second call is a no-op but must not raise)
+    ctg.register_opt_einsum_presets()
+    rng = np.random.default_rng(1)
+    x, y = rng.normal(size=(4, 5)), rng.normal(size=(5, 6))
+    got = oe.contract("ab,bc->ac", x, y, optimize="cotengra-greedy")
+    np.testing.assert_allclose(got, x @ y, rtol=1e-8)
+
+
+def test_tree_exports():
+    inputs, output, shapes, size_dict = ctg.rand_equation(12, 3, seed=0)
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    G = tree.to_networkx()
+    assert G.number_of_nodes() == 2 * tree.N - 1
+    df = tree.to_df()
+    assert len(df) == tree.N - 1
+    assert df["cum_flops"].iloc[-1] == tree.total_flops()
+
+
+def test_plot_smoke():
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    inputs, output, shapes, size_dict = ctg.rand_equation(12, 3, seed=0)
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    for layout in ("ring", "tent", "span"):
+        fig, ax = tree.plot_tree(layout=layout)
+        assert fig is not None
+    tree.plot_contractions()
+
+    opt = ctg.HyperOptimizer(max_repeats=4, seed=0)
+    opt.search(inputs, output, size_dict)
+    opt.plot_trials()
+    opt.plot_scatter()
+
+    hg = ctg.get_hypergraph(inputs, output, size_dict)
+    hg.plot()
+
+    from cotengra_tpu.slicing import SliceFinder
+
+    sf = SliceFinder(tree, target_slices=4)
+    sf.plot_slicings()
+
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_instance_io_roundtrip():
+    inputs, output, shapes, size_dict = ctg.rand_equation(8, 3, seed=2)
+    buf = io.StringIO()
+    ctg.save_instance(buf, inputs, output, size_dict)
+    buf.seek(0)
+    i2, o2, s2 = ctg.load_instance(buf)
+    assert [tuple(t) for t in i2] == [tuple(t) for t in inputs]
+    assert tuple(o2) == tuple(output)
+    assert s2 == size_dict
+
+
+def test_hash_contraction_b_invariance():
+    inputs = [("a", "b"), ("b", "c"), ("c", "a")]
+    output = ()
+    size_dict = {"a": 2, "b": 3, "c": 4}
+    h1 = ctg.hash_contraction_b(inputs, output, size_dict)
+    # permute inputs
+    h2 = ctg.hash_contraction_b(
+        [inputs[2], inputs[0], inputs[1]], output, size_dict
+    )
+    assert h1 == h2
+    # relabel indices consistently
+    relabel = {"a": "x", "b": "y", "c": "z"}
+    inputs3 = [tuple(relabel[ix] for ix in t) for t in inputs]
+    size3 = {relabel[k]: v for k, v in size_dict.items()}
+    h3 = ctg.hash_contraction_b(inputs3, output, size3)
+    assert h1 == h3
+    # different sizes -> different hash
+    h4 = ctg.hash_contraction_b(
+        inputs, output, {"a": 2, "b": 3, "c": 5}
+    )
+    assert h1 != h4
+
+
+def test_linegraph_formats():
+    from cotengra_tpu.pathfinders.linegraph import (
+        LineGraph,
+        td_str_to_elimination_order,
+    )
+
+    inputs = [("a", "b"), ("b", "c"), ("c", "a")]
+    lg = LineGraph(inputs, ())
+    gr = lg.to_gr_str()
+    assert gr.startswith("p tw 3 3")
+    cnf = lg.to_cnf_str()
+    assert cnf.startswith("p cnf 3 3")
+
+    # parse a hand-written tree decomposition
+    td = "s td 2 2 3\nb 1 1 2\nb 2 2 3\n1 2\n"
+    order = td_str_to_elimination_order(td)
+    assert sorted(order) == [0, 1, 2]
+
+
+def test_labels_agglom():
+    from cotengra_tpu.pathfinders.labels import optimize_labels_agglom
+
+    inputs, output, shapes, size_dict = ctg.rand_equation(40, 3, seed=5)
+    path = optimize_labels_agglom(inputs, output, size_dict, seed=0)
+    tree = ctg.ContractionTree.from_path(
+        inputs, output, size_dict, path=path
+    )
+    assert tree.is_complete()
+    assert tree.speedup() > 1
+
+
+def test_print_contractions(capsys):
+    inputs, output, shapes, size_dict = ctg.rand_equation(6, 3, seed=0)
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    tree.print_contractions()
+    out = capsys.readouterr().out
+    assert "flops=10^" in out
+    assert out.count("\n") == tree.N - 1
+
+
+def test_external_solvers_gated():
+    from cotengra_tpu.pathfinders.external import (
+        flowcutter_available,
+        quickbb_available,
+    )
+
+    # binaries absent in this image: presets must simply not register
+    if not flowcutter_available():
+        assert "flowcutter-10" not in ctg.list_presets()
+    if not quickbb_available():
+        assert "quickbb-10" not in ctg.list_presets()
