@@ -116,9 +116,9 @@ class ContractionTreeCompressed(ContractionTree):
         raise NotImplementedError(
             "ContractionTreeCompressed models *approximate* (bond "
             "truncated) contraction costs - exact pairwise execution "
-            "would be exponential. Use the compressed executor "
-            "(cotengra_tpu.ops.compressed) or export the order with "
-            "tree.get_path()."
+            "would be exponential. Use tree.contract_compressed(arrays, "
+            "chi=...) for native approximate execution, or export the "
+            "order with tree.get_path()."
         )
 
     def contract(self, *args, **kwargs):
@@ -126,6 +126,15 @@ class ContractionTreeCompressed(ContractionTree):
 
     def contract_core(self, *args, **kwargs):
         return self.get_contractor()
+
+    def contract_compressed(self, arrays, chi=None, **kwargs):
+        """Approximately contract ``arrays`` with chi-capped bond
+        truncation (QR+SVD), natively on device. This goes beyond the
+        reference, which delegates compressed execution to quimb.
+        """
+        from .ops.compressed import contract_compressed
+
+        return contract_compressed(self, arrays, chi=chi, **kwargs)
 
     # -- refinement over contraction orders ----------------------------------
 

@@ -129,6 +129,50 @@ def test_multi_tree_costs():
     assert stats["peak"] >= stats["size"]
 
 
+def test_contract_compressed_exact_at_large_chi():
+    import numpy as np
+
+    from cotengra_tpu.utils.symbols import inds_to_eq
+
+    inputs, output, shapes, size_dict = ctg.lattice_equation(
+        [4, 4], d_min=2
+    )
+    rng = np.random.default_rng(0)
+    arrays = [rng.normal(size=s) for s in shapes]
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy-compressed"
+    )
+    exact = np.einsum(
+        inds_to_eq(inputs, output), *arrays, optimize=True
+    )
+    approx = tree.contract_compressed(arrays, chi=10**6)
+    np.testing.assert_allclose(
+        np.asarray(approx), exact, rtol=1e-8
+    )
+
+
+def test_contract_compressed_truncation_close_on_weak_network():
+    import numpy as np
+
+    from cotengra_tpu.utils.symbols import inds_to_eq
+
+    inputs, output, shapes, size_dict = ctg.lattice_equation(
+        [4, 4], d_min=2
+    )
+    rng = np.random.default_rng(1)
+    # near-product tensors: truncation should be nearly exact
+    arrays = [np.ones(s) + 0.01 * rng.normal(size=s) for s in shapes]
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy-compressed"
+    )
+    exact = np.einsum(
+        inds_to_eq(inputs, output), *arrays, optimize=True
+    )
+    approx = tree.contract_compressed(arrays, chi=4)
+    rel = abs(float(np.asarray(approx)) - exact) / abs(exact)
+    assert rel < 1e-6
+
+
 def test_hyper_multi_optimizer():
     inputs, output, shapes, size_dict = ctg.rand_equation(12, 3, seed=2)
     var_inds = sorted(size_dict)[:3]
