@@ -52,9 +52,22 @@ def main():
     m = int(os.environ.get("BENCH_DEPTH", "8"))
     seed = 42
 
-    # -- plan (host) -----------------------------------------------------
+    # -- build + preprocess (host) ----------------------------------------
     inputs, output, shapes, size_dict, arrays = rand_circuit_tn(
         n_qubits=53, depth=m, seed=seed
+    )
+    from cotengra_tpu.ops.preprocess import absorb_simple_tensors
+
+    n_raw = len(inputs)
+    inputs, arrays = absorb_simple_tensors(inputs, arrays, output)
+    size_dict = {
+        ix: int(d)
+        for term, arr in zip(inputs, arrays)
+        for ix, d in zip(term, arr.shape)
+    }
+    print(
+        f"# preprocess: {n_raw} -> {len(inputs)} tensors",
+        file=sys.stderr,
     )
     t0 = time.time()
     ssa_path, lf = optimize_random_greedy_track_flops(

@@ -401,9 +401,18 @@ class HyperOptimizer(PathOptimizer):
                         **self._trial_kwargs(),
                     )
                     pending[fut] = (method, params)
-                done, _ = cf.wait(
-                    pending, return_when=cf.FIRST_COMPLETED
-                )
+                if isinstance(next(iter(pending)), cf.Future):
+                    done, _ = cf.wait(
+                        pending, return_when=cf.FIRST_COMPLETED
+                    )
+                else:
+                    # non-concurrent.futures pool (e.g. ray): poll
+                    done = [
+                        f for f in pending if f.done()
+                    ]
+                    if not done:
+                        time.sleep(0.005)
+                        continue
                 for fut in done:
                     method, params = pending.pop(fut)
                     try:
@@ -479,16 +488,28 @@ class ReusableHyperOptimizer(PathOptimizer):
         directory=None,
         overwrite=False,
         cache_only=False,
+        hash_method="a",
         **opt_kwargs,
     ):
         self.directory = directory
         self._cache = DiskDict(directory)
         self.overwrite = overwrite
         self.cache_only = cache_only
+        self.hash_method = hash_method
         self.opt_kwargs = opt_kwargs
         self.last_opt = None
 
     def hash_query(self, inputs, output, size_dict):
+        if self.hash_method == "b":
+            # permutation/relabel invariant (WL refinement)
+            from ..utils.io import hash_contraction_b
+
+            base = hash_contraction_b(inputs, output, size_dict)
+            return (
+                base
+                + "-"
+                + str(self.opt_kwargs.get("minimize", "flops"))
+            )
         return hash_contraction(
             inputs,
             output,

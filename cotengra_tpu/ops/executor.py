@@ -364,6 +364,28 @@ def contract_tree(tree, arrays, strip_exponent=False, **kwargs):
     return fn(*arrays)
 
 
+def gen_output_chunks(tree, arrays, **kwargs):
+    """Generate the output chunks of an output-sliced contraction one at
+    a time, without materializing the full output (reference
+    ``core.py:3884-3941``). Yields ``(chunk_key, chunk_array)`` where
+    ``chunk_key`` maps each output-sliced index to its value.
+    """
+    n_inner, n_chunks, _ = _chunk_structure(tree)
+    core = tree.get_contractor(**kwargs)
+    for c in range(n_chunks):
+        acc = None
+        for k in range(n_inner):
+            sid = c * n_inner + k
+            res = core(*slice_arrays(tree, arrays, sid))
+            acc = res if acc is None else acc + res
+        key = {
+            ix: v
+            for ix, v in tree.slice_key(c * n_inner).items()
+            if not tree.sliced_inds[ix].inner
+        }
+        yield key, acc
+
+
 def gather_slices(tree, slices, strip_exponent=False):
     """Host-side gather of an iterable of per-slice results (in flat slice
     id order): sum inner slices, stack output chunks, reassemble.

@@ -95,6 +95,10 @@ def parse_parallel_arg(parallel):
             key = ("threads", n)
         elif name in ("processes", "process", "concurrent.futures"):
             key = ("processes", n)
+        elif name == "dask":
+            return _get_dask_pool(n)
+        elif name == "ray":
+            return _get_ray_pool(n)
         else:
             raise ValueError(f"Unknown parallel backend {parallel!r}.")
     elif hasattr(parallel, "submit"):
@@ -117,6 +121,72 @@ def parse_parallel_arg(parallel):
 def set_parallel_backend(parallel):
     """Eagerly create and return the default pool."""
     return parse_parallel_arg(parallel)
+
+
+def _get_dask_pool(n):
+    """dask.distributed-backed executor (optional dependency): reuses an
+    existing client or creates a local cluster (reference
+    ``parallel.py:394-473``)."""
+    try:
+        from dask.distributed import Client, get_client
+    except ImportError as e:
+        raise ImportError(
+            "parallel='dask' requires dask.distributed"
+        ) from e
+    try:
+        client = get_client()
+    except ValueError:
+        import warnings
+
+        warnings.warn("Creating a local dask cluster...")
+        client = Client(n_workers=n, threads_per_worker=1)
+    return client.get_executor()
+
+
+def _get_ray_pool(n):
+    """ray-backed executor (optional dependency): a minimal pool wrapper
+    submitting remote functions (reference ``parallel.py:476-681``)."""
+    try:
+        import ray
+    except ImportError as e:
+        raise ImportError("parallel='ray' requires ray") from e
+    if not ray.is_initialized():
+        ray.init(num_cpus=n, ignore_reinit_error=True)
+
+    class _RayFuture:
+        def __init__(self, ref):
+            self._ref = ref
+
+        def result(self, timeout=None):
+            import ray as _ray
+
+            return _ray.get(self._ref, timeout=timeout)
+
+        def cancel(self):
+            import ray as _ray
+
+            _ray.cancel(self._ref, force=False)
+
+        def done(self):
+            import ray as _ray
+
+            ready, _ = _ray.wait([self._ref], timeout=0)
+            return bool(ready)
+
+    class _RayPool:
+        _max_workers = n
+        _remote_cache = {}
+
+        def submit(self, fn, *args, **kwargs):
+            rf = self._remote_cache.get(fn)
+            if rf is None:
+                rf = self._remote_cache[fn] = ray.remote(fn)
+            return _RayFuture(rf.remote(*args, **kwargs))
+
+        def scatter(self, data):
+            return ray.put(data)
+
+    return _RayPool()
 
 
 def get_pool_size(pool):

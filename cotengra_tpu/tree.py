@@ -1368,6 +1368,18 @@ class ContractionTree:
 
         return contract_slice(self, arrays, i, **kwargs)
 
+    def contract_sharded(self, arrays, mesh=None, **kwargs):
+        """Contract with the sliced sum sharded over a TPU device mesh
+        (psum over ICI) - the TPU-native analog of the reference's
+        ``contract_mpi`` (``core.py:4032-4090``).
+        """
+        from .parallel.mesh import contract_sharded
+
+        return contract_sharded(self, arrays, mesh=mesh, **kwargs)
+
+    # parity alias: the reference's MPI entry point maps to mesh execution
+    contract_mpi = contract_sharded
+
     def slice_key(self, i):
         """Decode flat slice id ``i`` into ``{ind: value}`` assignments
         (mixed-radix, output-sliced indices first).

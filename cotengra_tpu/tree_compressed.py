@@ -222,6 +222,66 @@ class ContractionTreeCompressed(ContractionTree):
         windowed_reconfigure, inplace=True
     )
 
+    def compressed_reconfigure(
+        self,
+        minimize=None,
+        num_restarts=4,
+        max_iterations=50,
+        temperatures=(0.0, 0.05, 0.2),
+        seed=None,
+        inplace=False,
+        **kwargs,
+    ):
+        """Multi-restart annealed order refinement: run
+        ``windowed_reconfigure`` from several temperatures and keep the
+        best (serves the role of the reference's exhaustive
+        branch-and-bound ``compressed_reconfigure``,
+        ``core.py:3038-3066``).
+        """
+        rng = get_rng(seed)
+        objective = parse_minimize(
+            minimize
+            if minimize is not None
+            else self.get_default_objective()
+        )
+        tracker_cls = getattr(objective, "tracker_cls", None)
+        chi = getattr(objective, "chi", None)
+
+        def score(t):
+            stats = t.compressed_contract_stats(
+                chi=chi, tracker_cls=tracker_cls
+            )
+            return stats.score if tracker_cls else stats.combo_score
+
+        best = self
+        best_score = score(self)
+        for r in range(num_restarts):
+            temp = temperatures[r % len(temperatures)]
+            cand = self.windowed_reconfigure(
+                minimize=minimize,
+                max_iterations=max_iterations,
+                score_temperature=temp,
+                seed=rng.randrange(2**32),
+                inplace=False,
+                **kwargs,
+            )
+            s = score(cand)
+            if s < best_score:
+                best, best_score = cand, s
+
+        if inplace:
+            if best is not self:
+                self._adopt(best)
+                self._surface_seq = getattr(
+                    best, "_surface_seq", None
+                ) or {}
+            return self
+        return best
+
+    compressed_reconfigure_ = functools.partialmethod(
+        compressed_reconfigure, inplace=True
+    )
+
     def __repr__(self):
         return f"<{self.__class__.__name__}(N={self.N})>"
 
