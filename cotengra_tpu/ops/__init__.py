@@ -3,8 +3,10 @@ from .executor import (
     contract_slice,
     contract_tree,
     gather_slices,
+    gen_output_chunks,
     make_contractor,
     make_full_contractor,
+    make_staged_contractor,
     slice_arrays,
 )
 from .lowering import ContractionIR, extract_contractions

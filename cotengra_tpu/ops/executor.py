@@ -334,6 +334,121 @@ def make_full_contractor(
     return fn
 
 
+def make_staged_contractor(
+    tree,
+    order=None,
+    num_stages=2,
+    strip_exponent=False,
+    autojit=True,
+    precision=None,
+    preferred_element_type=None,
+):
+    """Compile the core contraction as ``num_stages`` sequentially-run
+    jitted functions instead of one.
+
+    Very deep contractions (hundreds of dot_generals with large
+    intermediates) can exceed a compiler's memory/time budget as a single
+    program; staging trades a few extra dispatches for bounded per-program
+    compile cost. Live intermediates crossing a stage boundary are threaded
+    through as arguments.
+    """
+    ir = extract_contractions(tree, order=order)
+    steps = ir.steps
+    n_steps = len(steps)
+    if n_steps == 0 or num_stages <= 1:
+        return make_contractor(
+            tree,
+            order=order,
+            strip_exponent=strip_exponent,
+            autojit=autojit,
+            precision=precision,
+            preferred_element_type=preferred_element_type,
+        )
+    num_stages = min(num_stages, n_steps)
+    bounds = [n_steps * i // num_stages for i in range(num_stages + 1)]
+
+    # which step index defines each id (inputs: defined at -1)
+    def_at = {i: -1 for i in range(ir.num_inputs)}
+    for si, step in enumerate(steps):
+        def_at[step.out] = si
+
+    def live_at(boundary):
+        """ids defined before ``boundary`` still needed at/after it."""
+        out = []
+        for vid, d in def_at.items():
+            if d < bounds[boundary]:
+                last = ir.last_use.get(vid, None)
+                if vid == ir.final_id or (
+                    last is not None and last >= bounds[boundary]
+                ):
+                    out.append(vid)
+        return sorted(out)
+
+    stage_sigs = [live_at(b) for b in range(num_stages + 1)]
+    stage_sigs[0] = list(range(ir.num_inputs))
+    stage_sigs[-1] = [ir.final_id]
+
+    def make_stage(s):
+        seg = steps[bounds[s]:bounds[s + 1]]
+        in_ids = stage_sigs[s]
+        out_ids = stage_sigs[s + 1]
+
+        def stage(carry, exponent=None):
+            temps = dict(zip(in_ids, carry))
+            for step in seg:
+                if isinstance(step, SingleStep):
+                    out = apply_single(
+                        temps[step.inp], step.in_legs, step.out_legs
+                    )
+                else:
+                    out = apply_pairwise(
+                        temps[step.l],
+                        temps[step.r],
+                        step.l_legs,
+                        step.r_legs,
+                        step.out_legs,
+                        precision=precision,
+                        preferred_element_type=preferred_element_type,
+                    )
+                    if strip_exponent:
+                        out, e = _strip(out)
+                        exponent = (
+                            e if exponent is None else exponent + e
+                        )
+                temps[step.out] = out
+            result = tuple(temps[vid] for vid in out_ids)
+            if strip_exponent:
+                if exponent is None:
+                    exponent = jnp.zeros(
+                        (), _real_dtype(result[0].dtype)
+                    )
+                return result, exponent
+            return result
+
+        return jax.jit(stage) if autojit else stage
+
+    stages = [make_stage(s) for s in range(num_stages)]
+
+    def fn(*arrays):
+        carry = tuple(arrays)
+        exponent = None
+        for s, stage in enumerate(stages):
+            if strip_exponent:
+                carry, exponent = (
+                    stage(carry)
+                    if exponent is None
+                    else stage(carry, exponent)
+                )
+            else:
+                carry = stage(carry)
+        (result,) = carry
+        if strip_exponent:
+            return result, exponent
+        return result
+
+    return fn
+
+
 # -- public tree-execution entry points -----------------------------------------
 
 

@@ -91,6 +91,30 @@ def test_constants_folding_array_contract():
     assert_allclose(np.asarray(expr(x2)), x2 @ y @ z, rtol=1e-8)
 
 
+@pytest.mark.parametrize("num_stages", [2, 4])
+@pytest.mark.parametrize("strip", [False, True])
+def test_staged_contractor(num_stages, strip):
+    from cotengra_tpu.ops.executor import make_staged_contractor
+
+    inputs, output, shapes, size_dict = ctg.rand_equation(
+        12, 3, n_out=1, n_hyper_in=1, seed=9
+    )
+    rng = np.random.default_rng(0)
+    arrays = [rng.normal(size=s) for s in shapes]
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    expected = ref_einsum(inputs, output, arrays)
+    fn = make_staged_contractor(
+        tree, num_stages=num_stages, strip_exponent=strip
+    )
+    got = fn(*arrays)
+    if strip:
+        m, e = got
+        got = np.asarray(m) * 10.0 ** np.asarray(e)
+    assert_allclose(np.asarray(got), expected, rtol=1e-8)
+
+
 def test_constants_folding_einsum_expression():
     rng = np.random.default_rng(2)
     x = rng.normal(size=(4, 5))
