@@ -39,6 +39,36 @@ register_hyper_function(
 )
 
 
+def _hyper_ssa_random_greedy(
+    inputs, output, size_dict, ntrials=32, costmod_max=4.0,
+    temperature_max=1.0,
+):
+    from ..pathfinders.basic import optimize_random_greedy_track_flops
+
+    path, _ = optimize_random_greedy_track_flops(
+        inputs,
+        output,
+        size_dict,
+        ntrials=ntrials,
+        costmod=(0.1, costmod_max),
+        temperature=(0.001, temperature_max),
+        use_ssa=True,
+    )
+    return path
+
+
+register_hyper_function(
+    "random-greedy",
+    _hyper_ssa_random_greedy,
+    space={
+        "ntrials": {"type": "INT", "min": 8, "max": 64},
+        # the per-batch sampling ranges are themselves the tunables
+        "costmod_max": {"type": "FLOAT", "min": 1.0, "max": 6.0},
+        "temperature_max": {"type": "FLOAT_EXP", "min": 0.01, "max": 2.0},
+    },
+)
+
+
 def _hyper_ssa_edgesort(inputs, output, size_dict, **params):
     from ..pathfinders.edgesort import optimize_edgesort
 

@@ -190,6 +190,69 @@ def plot_tree_span(tree, **kwargs):
     return plot_tree(tree, layout="span", **kwargs)
 
 
+def plot_tree_flat(tree, **kwargs):
+    """Flat layout: leaves on a line, internal nodes by subtree height."""
+    return plot_tree(tree, layout="tent", **kwargs)
+
+
+def plot_tree_rubberband(tree, **kwargs):
+    """Alias of the span layout (contour-band rendering is approximated
+    by the span tree)."""
+    return plot_tree(tree, layout="span", **kwargs)
+
+
+def plot_parameters_parallel(opt, params=None, ax=None, figsize=(7, 3)):
+    """Parallel-coordinates view of hyper-optimizer trial parameters,
+    shaded by score (reference ``plot.py`` parameter plots)."""
+    plt = _get_plt()
+    trials = [
+        t
+        for t in opt.trials
+        if t.get("score", float("inf")) != float("inf")
+        and t.get("params")
+    ]
+    if not trials:
+        raise ValueError("no successful trials to plot")
+    if params is None:
+        params = sorted(
+            {
+                k
+                for t in trials
+                for k, v in t["params"].items()
+                if isinstance(v, (int, float, bool))
+            }
+        )
+    if ax is None:
+        fig, ax = plt.subplots(figsize=figsize)
+    else:
+        fig = ax.get_figure()
+
+    # normalize each axis to [0, 1]
+    cols = {}
+    for k in params:
+        vals = [float(t["params"].get(k, 0.0)) for t in trials]
+        lo, hi = min(vals), max(vals)
+        rngv = (hi - lo) or 1.0
+        cols[k] = [(v - lo) / rngv for v in vals]
+    scores = [t["score"] for t in trials]
+    smin, smax = min(scores), max(scores)
+    srng = (smax - smin) or 1.0
+    cmap = plt.get_cmap("viridis_r")
+    for i, t in enumerate(trials):
+        ys = [cols[k][i] for k in params]
+        ax.plot(
+            range(len(params)),
+            ys,
+            color=cmap(1 - (scores[i] - smin) / srng),
+            alpha=0.6,
+            linewidth=1,
+        )
+    ax.set_xticks(range(len(params)))
+    ax.set_xticklabels(params, rotation=30, fontsize=7)
+    ax.set_yticks([])
+    return fig, ax
+
+
 def plot_contractions(tree, ax=None, figsize=(6, 3), order=None):
     """Per-step curves: log10 flops, log2 written size, log2 peak."""
     plt = _get_plt()
@@ -335,10 +398,13 @@ def _attach_plot_methods():
     ContractionTree.plot_ring = plot_tree_ring
     ContractionTree.plot_tent = plot_tree_tent
     ContractionTree.plot_span = plot_tree_span
+    ContractionTree.plot_flat = plot_tree_flat
+    ContractionTree.plot_rubberband = plot_tree_rubberband
     ContractionTree.plot_contractions = plot_contractions
     ContractionTree.to_networkx = tree_to_networkx
     ContractionTree.to_df = tree_to_df
     HyperOptimizer.plot_trials = plot_trials
     HyperOptimizer.plot_scatter = plot_scatter
+    HyperOptimizer.plot_parameters_parallel = plot_parameters_parallel
     SliceFinder.plot_slicings = plot_slicings
     HyperGraph.plot = plot_hypergraph

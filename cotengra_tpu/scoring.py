@@ -545,15 +545,22 @@ _OBJECTIVE_RE = re.compile(
 )
 
 
-@functools.lru_cache(maxsize=None)
 def parse_minimize(minimize):
-    """Parse an objective specification (string or Objective) into an
-    Objective instance.
+    """Parse an objective specification (string, Objective, or callable)
+    into an Objective instance.
     """
     if isinstance(minimize, Objective):
         return minimize
+    if callable(minimize):
+        # custom callable objective: score trials directly
+        return minimize
     if not isinstance(minimize, str):
         raise TypeError(f"Can't parse objective from {minimize!r}.")
+    return _parse_minimize_str(minimize)
+
+
+@functools.lru_cache(maxsize=None)
+def _parse_minimize_str(minimize):
 
     m = _OBJECTIVE_RE.match(minimize)
     if m is None:
