@@ -12,7 +12,6 @@ Arrays are generated directly (random unitaries) so the network can be both
 """
 
 import itertools
-import math
 
 import numpy as np
 

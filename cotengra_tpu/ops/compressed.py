@@ -79,6 +79,7 @@ def contract_compressed(
     chi=None,
     order="surface_order",
     compress_late=None,
+    strip_exponent=False,
     progbar=False,
 ):
     """Execute ``tree`` approximately with maximum bond dimension ``chi``.
@@ -157,6 +158,7 @@ def contract_compressed(
                 live[other] = (y2, o2)
 
     out_set = set(tree.output)
+    exponent = jnp.zeros((), jnp.float32)
 
     for p, l, r in tree.traverse(order):
         if compress_late:
@@ -175,6 +177,11 @@ def contract_compressed(
             if ix in other_inds
         )
         z = apply_pairwise(x, y, l_legs, r_legs, p_legs)
+        if strip_exponent:
+            absmax = jnp.max(jnp.abs(z))
+            scale = jnp.where(absmax == 0, jnp.ones_like(absmax), absmax)
+            z = z / scale
+            exponent = exponent + jnp.log10(scale).astype(jnp.float32)
         live[p] = (z, p_legs)
         if not compress_late:
             compress_with_neighbors(p)
@@ -185,4 +192,6 @@ def contract_compressed(
     if legs != target and target:
         perm = tuple(legs.index(ix) for ix in target)
         result = jnp.transpose(result, perm)
+    if strip_exponent:
+        return result, exponent
     return result

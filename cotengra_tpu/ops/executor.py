@@ -21,13 +21,11 @@ Multi-device execution shards the inner-slice loop over a mesh - see
 ``cotengra_tpu.parallel.mesh``.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 from ..utils.misc import prod
-from .lowering import PairStep, SingleStep, extract_contractions
+from .lowering import SingleStep, extract_contractions
 from .pairwise import apply_pairwise, apply_single
 
 

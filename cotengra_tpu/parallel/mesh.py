@@ -17,8 +17,6 @@ Everything is a single ``shard_map``-wrapped jitted function: one compile,
 no per-slice dispatch, collectives ride ICI.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

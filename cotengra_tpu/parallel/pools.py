@@ -14,7 +14,6 @@ sharded over the device mesh via ``pjit``/``shard_map``
 (see ``cotengra_tpu.parallel.mesh``).
 """
 
-import functools
 import os
 
 _IS_WORKER = False

@@ -10,8 +10,6 @@ Two families:
   sequence IS an ssa path directly.
 """
 
-import functools
-
 try:
     import igraph as _ig
 
@@ -20,7 +18,6 @@ except ImportError:
     _ig = None
     HAS_IGRAPH = False
 
-from ..utils.misc import get_rng
 from .labels import partition_tree_build
 
 

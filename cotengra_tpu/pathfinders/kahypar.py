@@ -5,7 +5,6 @@ reference ``path_kahypar.py`` / ``hyper.py:30-41``).
 """
 
 import functools
-import warnings
 
 try:
     import kahypar as _kahypar

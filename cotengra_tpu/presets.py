@@ -10,7 +10,6 @@ hyper-optimized search otherwise; plus direct ``greedy``, ``optimal``,
 """
 
 import functools
-import math
 import threading
 
 from .interface import register_preset

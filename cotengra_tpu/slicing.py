@@ -14,8 +14,6 @@ On TPU the chosen slices become the data-parallel axis: inner-sliced sums
 map to ``psum`` over the device mesh (see ``cotengra_tpu.parallel.mesh``).
 """
 
-import math
-
 from .scoring import parse_minimize
 from .utils.misc import GumbelBatchedGenerator, get_rng
 

@@ -173,6 +173,35 @@ def test_contract_compressed_truncation_close_on_weak_network():
     assert rel < 1e-6
 
 
+def test_contract_compressed_strip_exponent():
+    import numpy as np
+
+    inputs, output, shapes, size_dict = ctg.lattice_equation(
+        [5, 5], d_min=3
+    )
+    rng = np.random.default_rng(2)
+    arrays = [np.ones(s) + 0.05 * rng.normal(size=s) for s in shapes]
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy-compressed"
+    )
+    m, e = tree.contract_compressed(
+        arrays, chi=9, strip_exponent=True
+    )
+    # ground truth: our exact sliced executor with exponent stripping
+    # (numpy's own einsum pathfinding chokes on closed lattices)
+    exact_tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="random-greedy"
+    )
+    em, ee = exact_tree.contract(
+        [a.astype(np.float64) for a in arrays], strip_exponent=True
+    )
+    exact_log = float(np.asarray(ee)) + np.log10(
+        abs(float(np.asarray(em)))
+    )
+    got_log = float(np.asarray(e)) + np.log10(abs(float(np.asarray(m))))
+    assert abs(got_log - exact_log) < 1e-3
+
+
 def test_hyper_multi_optimizer():
     inputs, output, shapes, size_dict = ctg.rand_equation(12, 3, seed=2)
     var_inds = sorted(size_dict)[:3]
