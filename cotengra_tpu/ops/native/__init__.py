@@ -97,6 +97,11 @@ def _build_lib():
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
         ctypes.c_int, i32p,
     ]
+    lib.ctg_compressed_stats.restype = ctypes.c_int
+    lib.ctg_compressed_stats.argtypes = [
+        ctypes.c_int, i32p, i32p, ctypes.c_int, f64p, i32p, ctypes.c_int,
+        i32p, ctypes.c_int, ctypes.c_double, ctypes.c_int, f64p,
+    ]
     return lib
 
 
@@ -234,6 +239,28 @@ def optimize_random_greedy_track_flops(
 
         path = ssa_to_linear(path, n)
     return path, lf.value
+
+
+def compressed_stats(
+    inputs, output, size_dict, order_pairs, chi, compress_late=False
+):
+    """Replay ``order_pairs`` (hypergraph-node id pairs; leaves are
+    0..N-1, step k makes node N+k) with chi-capped compression, returning
+    ``(flops, write, max_size, peak_size)``.
+    """
+    lib = _get_lib()
+    offsets, flat, sizes, out = _marshal(inputs, output, size_dict)
+    pairs = np.asarray(order_pairs, dtype=np.int32).reshape(-1)
+    out4 = np.zeros(4, dtype=np.float64)
+    status = lib.ctg_compressed_stats(
+        len(inputs), _i32p(offsets), _i32p(flat), len(sizes),
+        _f64p(sizes), _i32p(out), len(out), _i32p(pairs),
+        len(pairs) // 2, float(chi), int(bool(compress_late)),
+        _f64p(out4),
+    )
+    if status != 0:
+        raise RuntimeError("native compressed_stats failed")
+    return tuple(out4)
 
 
 def optimize_optimal(

@@ -679,3 +679,235 @@ int ctg_optimize_optimal(int n_terms, const int* term_offsets,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------- compressed replay --
+//
+// Native equivalent of the reference's Rust HyperGraph extension used for
+// the compressed-cost hot loop (SURVEY.md §2.9: contract / compress /
+// node_size / neighborhood ops): replay a contraction order on a mutable
+// hypergraph with chi-capped multibond compression, accumulating
+// flops / write / max_size / peak_size exactly as the Python
+// CompressedStatsTracker does.
+
+namespace {
+
+struct HG {
+    // edge id -> (sorted) node ids; node id -> edge ids
+    std::unordered_map<int, std::vector<int>> enodes;
+    std::unordered_map<int, std::vector<int>> nedges;
+    std::vector<double> esize;
+    std::unordered_set<int> output_edges;
+
+    double edge_size(int e) const { return esize[e]; }
+
+    double node_size(int n) const {
+        double s = 1.0;
+        for (int e : nedges.at(n)) s *= esize[e];
+        return s;
+    }
+
+    double neighborhood_size(const std::vector<int>& nodes) const {
+        std::unordered_set<int> hood;
+        for (int n : nodes)
+            for (int e : nedges.at(n))
+                for (int nn : enodes.at(e)) hood.insert(nn);
+        double s = 0.0;
+        for (int n : hood) s += node_size(n);
+        return s;
+    }
+
+    double contract_pair_cost(int i, int j) const {
+        std::unordered_set<int> seen;
+        double c = 1.0;
+        for (int e : nedges.at(i))
+            if (seen.insert(e).second) c *= esize[e];
+        for (int e : nedges.at(j))
+            if (seen.insert(e).second) c *= esize[e];
+        return c;
+    }
+
+    double neighborhood_compress_cost(
+        double chi, const std::vector<int>& nodes) const {
+        std::unordered_set<int> region;
+        for (int n : nodes)
+            for (int e : nedges.at(n)) region.insert(e);
+        std::unordered_set<int> node_set(nodes.begin(), nodes.end());
+        // group edges by incident node set
+        std::map<std::vector<int>, std::vector<int>> groups;
+        for (int e : region) {
+            if (output_edges.count(e)) continue;
+            std::vector<int> key = enodes.at(e);
+            std::sort(key.begin(), key.end());
+            groups[key].push_back(e);
+        }
+        double C = 0.0;
+        for (auto& [key, group] : groups) {
+            // skip bonds fully inside the region
+            bool inside = key.size() == node_set.size();
+            if (inside) {
+                for (int n : key)
+                    if (!node_set.count(n)) { inside = false; break; }
+            }
+            if (inside) continue;
+            double da = 1.0;
+            for (int e : group) da *= esize[e];
+            if (da > chi) {
+                for (int n : key) {
+                    double db = 1.0;
+                    std::unordered_set<int> gset(group.begin(), group.end());
+                    for (int e : nedges.at(n))
+                        if (!gset.count(e)) db *= esize[e];
+                    double lo = std::min(da, db), hi = std::max(da, db);
+                    C += lo * lo * hi;
+                }
+            }
+        }
+        return C;
+    }
+
+    void remove_edge(int e) {
+        for (int n : enodes.at(e)) {
+            auto& v = nedges.at(n);
+            v.erase(std::remove(v.begin(), v.end(), e), v.end());
+        }
+        enodes.erase(e);
+    }
+
+    int contract(int i, int j, int new_id) {
+        // collect unique edges of i and j
+        std::vector<int> all;
+        for (int e : nedges.at(i)) all.push_back(e);
+        for (int e : nedges.at(j)) all.push_back(e);
+        std::sort(all.begin(), all.end());
+        all.erase(std::unique(all.begin(), all.end()), all.end());
+        // detach i and j from their edges
+        for (int nid : {i, j}) {
+            for (int e : nedges.at(nid)) {
+                auto& v = enodes.at(e);
+                v.erase(std::remove(v.begin(), v.end(), nid), v.end());
+            }
+            nedges.erase(nid);
+        }
+        std::vector<int> keep;
+        for (int e : all) {
+            if (!enodes.at(e).empty() || output_edges.count(e)) {
+                keep.push_back(e);
+                enodes.at(e).push_back(new_id);
+            } else {
+                enodes.erase(e);
+            }
+        }
+        nedges[new_id] = std::move(keep);
+        return new_id;
+    }
+
+    void compress(double chi, const std::vector<int>& edges) {
+        std::map<std::vector<int>, std::vector<int>> groups;
+        std::unordered_set<int> seen;
+        for (int e : edges) {
+            if (!seen.insert(e).second) continue;
+            if (output_edges.count(e) || !enodes.count(e)) continue;
+            std::vector<int> key = enodes.at(e);
+            std::sort(key.begin(), key.end());
+            groups[key].push_back(e);
+        }
+        for (auto& [key, group] : groups) {
+            if (group.size() > 1) {
+                double new_size = 1.0;
+                for (int e : group) new_size *= esize[e];
+                int keep = group[0];
+                for (size_t k = 1; k < group.size(); ++k)
+                    remove_edge(group[k]);
+                esize[keep] = std::min(new_size, chi);
+            }
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// replay a contraction order with chi-capped compression; writes
+// [flops, write, max_size, peak_size] into out4. Node ids: leaves
+// 0..n_terms-1, step k produces node n_terms+k. Returns 0 on success.
+int ctg_compressed_stats(
+    int n_terms, const int* term_offsets, const int* term_inds,
+    int n_inds, const double* sizes, const int* output_inds,
+    int n_output, const int* order_pairs, int n_steps, double chi,
+    int compress_late, double* out4) {
+    try {
+        HG hg;
+        hg.esize.assign(sizes, sizes + n_inds);
+        for (int i = 0; i < n_terms; ++i) {
+            std::vector<int> es;
+            for (int p = term_offsets[i]; p < term_offsets[i + 1]; ++p) {
+                es.push_back(term_inds[p]);
+                hg.enodes[term_inds[p]].push_back(i);
+            }
+            hg.nedges[i] = std::move(es);
+        }
+        for (int o = 0; o < n_output; ++o)
+            hg.output_edges.insert(output_inds[o]);
+
+        // tracker state (mirrors CompressedStatsTracker exactly)
+        double total_size = 0.0, max_size = 0.0;
+        for (auto& [n, _] : hg.nedges) {
+            double s = hg.node_size(n);
+            max_size = std::max(max_size, s);
+            total_size += s;
+        }
+        double write = total_size, peak_size = total_size, flops = 0.0;
+
+        for (int k = 0; k < n_steps; ++k) {
+            int li = order_pairs[2 * k];
+            int ri = order_pairs[2 * k + 1];
+            int pid = n_terms + k;
+            double size_change = 0.0, flops_change = 0.0;
+
+            if (compress_late) {
+                std::vector<int> lr{li, ri};
+                size_change -= hg.neighborhood_size(lr);
+                flops_change += hg.neighborhood_compress_cost(chi, lr);
+                // copy: compress mutates the node's edge list
+                std::vector<int> le = hg.nedges.at(li);
+                hg.compress(chi, le);
+                std::vector<int> re = hg.nedges.at(ri);
+                hg.compress(chi, re);
+                size_change += hg.neighborhood_size(lr);
+            }
+
+            size_change -= hg.node_size(li) + hg.node_size(ri);
+            flops_change += hg.contract_pair_cost(li, ri);
+            hg.contract(li, ri, pid);
+            double contracted_size = hg.node_size(pid);
+            size_change += contracted_size;
+            double total_post = total_size + size_change;
+
+            if (!compress_late) {
+                std::vector<int> pp{pid};
+                size_change -= hg.neighborhood_size(pp);
+                flops_change += hg.neighborhood_compress_cost(chi, pp);
+                std::vector<int> pe = hg.nedges.at(pid);
+                hg.compress(chi, pe);
+                size_change += hg.neighborhood_size(pp);
+            }
+
+            max_size = std::max(max_size, contracted_size);
+            peak_size = std::max(peak_size, total_post);
+            total_size += size_change;
+            flops += flops_change;
+            write += contracted_size;
+        }
+
+        out4[0] = flops;
+        out4[1] = write;
+        out4[2] = max_size;
+        out4[3] = peak_size;
+        return 0;
+    } catch (...) {
+        return -1;
+    }
+}
+
+}  // extern "C"
