@@ -17,6 +17,9 @@ from .space import (
     get_optlib,
     register_hyper_optlib,
 )
+from .optlibs import NelderMeadOptLib, register_optional_optlibs
+
+register_optional_optlibs()
 
 # -- built-in hyper methods ---------------------------------------------------
 

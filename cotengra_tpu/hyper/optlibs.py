@@ -1,0 +1,272 @@
+"""Additional hyper-parameter samplers.
+
+- ``nm``: dependency-free Nelder-Mead operating in a uniform [0,1]^d
+  mapped space (the in-house-sampler role of the reference's
+  ``hyper_neldermead.py`` / ``hyper_sbplx.py``).
+- ``optuna`` / ``nevergrad`` / ``cmaes``: thin adapters registered only
+  when the library is importable (reference ``hyper_optuna.py`` etc.).
+
+All samplers speak the same ask/tell interface as
+:class:`~cotengra_tpu.hyper.space.HyperOptLib`.
+"""
+
+import math
+
+from .space import HyperOptLib, register_hyper_optlib, sample_uniform
+
+
+def _to_unit(spec, value):
+    t = spec["type"]
+    if t == "FLOAT":
+        lo, hi = spec["min"], spec["max"]
+        return (value - lo) / ((hi - lo) or 1.0)
+    if t == "FLOAT_EXP":
+        lo, hi = math.log(spec["min"]), math.log(spec["max"])
+        return (math.log(max(value, 1e-300)) - lo) / ((hi - lo) or 1.0)
+    if t == "INT":
+        lo, hi = spec["min"], spec["max"]
+        return (value - lo) / ((hi - lo) or 1.0)
+    if t == "BOOL":
+        return 1.0 if value else 0.0
+    if t == "STRING":
+        opts = spec["options"]
+        return opts.index(value) / max(len(opts) - 1, 1)
+    raise ValueError(t)
+
+
+def _from_unit(spec, u):
+    u = min(max(u, 0.0), 1.0)
+    t = spec["type"]
+    if t == "FLOAT":
+        lo, hi = spec["min"], spec["max"]
+        return lo + u * (hi - lo)
+    if t == "FLOAT_EXP":
+        lo, hi = math.log(spec["min"]), math.log(spec["max"])
+        return math.exp(lo + u * (hi - lo))
+    if t == "INT":
+        lo, hi = spec["min"], spec["max"]
+        return int(round(lo + u * (hi - lo)))
+    if t == "BOOL":
+        return u >= 0.5
+    if t == "STRING":
+        opts = spec["options"]
+        return opts[min(int(u * len(opts)), len(opts) - 1)]
+    raise ValueError(t)
+
+
+class NelderMeadOptLib(HyperOptLib):
+    """Nelder-Mead simplex search per method, in the unit-mapped space.
+
+    Maintains a simplex of d+1 points; each ask proposes the canonical
+    reflection/expansion/contraction candidate for the current worst
+    vertex; tell folds the result back into the simplex. Falls back to
+    uniform sampling while the simplex is filling or for empty spaces.
+    """
+
+    def __init__(self, methods, spaces, constants, seed=None, **kwargs):
+        super().__init__(methods, spaces, constants, seed=seed)
+        # per method: list of (score, unit-vector), and a pending proposal
+        self.simplex = {m: [] for m in self.methods}
+        self.pending = {}
+
+    def _dims(self, method):
+        return sorted(self.spaces[method])
+
+    def _vec_to_params(self, method, vec):
+        space = self.spaces[method]
+        return {
+            name: _from_unit(space[name], u)
+            for name, u in zip(self._dims(method), vec)
+        }
+
+    def ask(self):
+        method = self.choose_method()
+        space = self.spaces[method]
+        dims = self._dims(method)
+        d = len(dims)
+        simplex = self.simplex[method]
+
+        if d == 0 or len(simplex) < d + 1:
+            params = sample_uniform(space, self.rng)
+            vec = [
+                _to_unit(space[name], params[name]) for name in dims
+            ]
+        else:
+            simplex.sort(key=lambda sv: sv[0])
+            worst = simplex[-1][1]
+            centroid = [
+                sum(v[i] for _, v in simplex[:-1]) / d for i in range(d)
+            ]
+            # reflection with a dash of noise to escape degenerate
+            # simplices
+            vec = [
+                c + 1.0 * (c - w) + self.rng.gauss(0, 0.02)
+                for c, w in zip(centroid, worst)
+            ]
+            params = self._vec_to_params(method, vec)
+        full = {**self.constants.get(method, {}), **params}
+        self.pending[(method, tuple(sorted(params.items())))] = vec
+        return method, full
+
+    def tell(self, method, params, score):
+        super().tell(method, params, score)
+        space = self.spaces[method]
+        bare = {k: v for k, v in params.items() if k in space}
+        key = (method, tuple(sorted(bare.items())))
+        vec = self.pending.pop(key, None)
+        if vec is None:
+            vec = [
+                _to_unit(space[name], bare[name])
+                for name in self._dims(method)
+            ]
+        if not math.isfinite(score):
+            return
+        simplex = self.simplex[method]
+        simplex.append((score, vec))
+        d = len(self._dims(method))
+        simplex.sort(key=lambda sv: sv[0])
+        del simplex[d + 1:]
+
+
+register_hyper_optlib("nm", NelderMeadOptLib)
+register_hyper_optlib("sbplx", NelderMeadOptLib)  # alias
+
+
+class OptunaOptLib(HyperOptLib):
+    """optuna TPE adapter (only if optuna is installed)."""
+
+    def __init__(self, methods, spaces, constants, seed=None, **kwargs):
+        import optuna
+
+        super().__init__(methods, spaces, constants, seed=seed)
+        optuna.logging.set_verbosity(optuna.logging.WARNING)
+        self._optuna = optuna
+        self.study = optuna.create_study(
+            sampler=optuna.samplers.TPESampler(seed=seed),
+            direction="minimize",
+        )
+        self._trials = {}
+
+    def ask(self):
+        trial = self.study.ask()
+        if len(self.methods) > 1:
+            method = trial.suggest_categorical("method", self.methods)
+        else:
+            method = self.methods[0]
+        params = {}
+        for name, spec in self.spaces[method].items():
+            key = f"{method}__{name}"
+            t = spec["type"]
+            if t == "FLOAT":
+                params[name] = trial.suggest_float(
+                    key, spec["min"], spec["max"]
+                )
+            elif t == "FLOAT_EXP":
+                params[name] = trial.suggest_float(
+                    key, spec["min"], spec["max"], log=True
+                )
+            elif t == "INT":
+                params[name] = trial.suggest_int(
+                    key, spec["min"], spec["max"]
+                )
+            elif t == "BOOL":
+                params[name] = trial.suggest_categorical(
+                    key, [False, True]
+                )
+            else:
+                params[name] = trial.suggest_categorical(
+                    key, list(spec["options"])
+                )
+        full = {**self.constants.get(method, {}), **params}
+        self._trials[(method, tuple(sorted(params.items())))] = trial
+        return method, full
+
+    def tell(self, method, params, score):
+        super().tell(method, params, score)
+        bare = {
+            k: v
+            for k, v in params.items()
+            if k in self.spaces[method]
+        }
+        trial = self._trials.pop(
+            (method, tuple(sorted(bare.items()))), None
+        )
+        if trial is not None:
+            value = score if math.isfinite(score) else 1e30
+            self.study.tell(trial, value)
+
+
+class NevergradOptLib(HyperOptLib):
+    """nevergrad adapter (only if nevergrad is installed)."""
+
+    def __init__(
+        self, methods, spaces, constants, seed=None, budget=1024, **kwargs
+    ):
+        import nevergrad as ng
+
+        super().__init__(methods, spaces, constants, seed=seed)
+        self._by_method = {}
+        for m in self.methods:
+            kw = {}
+            for name, spec in spaces[m].items():
+                t = spec["type"]
+                if t == "FLOAT":
+                    kw[name] = ng.p.Scalar(
+                        lower=spec["min"], upper=spec["max"]
+                    )
+                elif t == "FLOAT_EXP":
+                    kw[name] = ng.p.Log(
+                        lower=spec["min"], upper=spec["max"]
+                    )
+                elif t == "INT":
+                    kw[name] = ng.p.Scalar(
+                        lower=spec["min"], upper=spec["max"]
+                    ).set_integer_casting()
+                elif t == "BOOL":
+                    kw[name] = ng.p.Choice([False, True])
+                else:
+                    kw[name] = ng.p.Choice(list(spec["options"]))
+            self._by_method[m] = ng.optimizers.NGOpt(
+                parametrization=ng.p.Instrumentation(**kw),
+                budget=budget,
+            )
+        self._asked = {}
+
+    def ask(self):
+        method = self.choose_method()
+        cand = self._by_method[method].ask()
+        params = dict(cand.kwargs)
+        self._asked[
+            (method, tuple(sorted(params.items())))
+        ] = cand
+        return method, {**self.constants.get(method, {}), **params}
+
+    def tell(self, method, params, score):
+        super().tell(method, params, score)
+        bare = {
+            k: v
+            for k, v in params.items()
+            if k in self.spaces[method]
+        }
+        cand = self._asked.pop(
+            (method, tuple(sorted(bare.items()))), None
+        )
+        if cand is not None:
+            self._by_method[method].tell(
+                cand, score if math.isfinite(score) else 1e30
+            )
+
+
+def register_optional_optlibs():
+    try:
+        import optuna  # noqa: F401
+
+        register_hyper_optlib("optuna", OptunaOptLib)
+    except ImportError:
+        pass
+    try:
+        import nevergrad  # noqa: F401
+
+        register_hyper_optlib("nevergrad", NevergradOptLib)
+    except ImportError:
+        pass
