@@ -58,14 +58,36 @@ def build_core_fn(
     strip_exponent=False,
     precision=None,
     preferred_element_type=None,
+    implementation=None,
 ):
     """Build the python function executing the IR on a list of (already
     sliced) arrays. Intermediates are freed as soon as dead (liveness from
     the IR) so XLA sees minimal concurrent buffers.
+
+    ``implementation="pallas"`` routes exponent-stripped batched-matmul
+    steps through the fused pallas matmul+absmax kernel (one HBM pass
+    instead of two); other steps use ``lax.dot_general``.
     """
     steps = ir.steps
     last_use = ir.last_use
     final_id = ir.final_id
+    use_pallas = implementation == "pallas"
+    if use_pallas:
+        from .pallas_bmm import _bmm_layout, pairwise_bmm_absmax
+
+    def _try_pallas_step(x, y, step):
+        """Fused matmul+absmax if the step qualifies, else None."""
+        if not strip_exponent:
+            return None
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return None
+        if x.size < 2**14 or y.size < 2**14:
+            return None  # too small to benefit
+        if _bmm_layout(step.l_legs, step.r_legs, step.out_legs) is None:
+            return None
+        return pairwise_bmm_absmax(
+            x, y, step.l_legs, step.r_legs, step.out_legs
+        )
 
     def core(*arrays):
         temps = dict(enumerate(arrays))
@@ -79,22 +101,37 @@ def build_core_fn(
                 if last_use.get(step.inp) == si:
                     del temps[step.inp]
             else:
-                out = apply_pairwise(
-                    temps[step.l],
-                    temps[step.r],
-                    step.l_legs,
-                    step.r_legs,
-                    step.out_legs,
-                    precision=precision,
-                    preferred_element_type=preferred_element_type,
+                x, y = temps[step.l], temps[step.r]
+                fused = (
+                    _try_pallas_step(x, y, step) if use_pallas else None
                 )
+                if fused is not None:
+                    out, absmax = fused
+                    scale = jnp.where(
+                        absmax == 0, jnp.ones_like(absmax), absmax
+                    ).astype(_real_dtype(out.dtype))
+                    out = out / scale
+                    e = jnp.log10(scale)
+                    exponent = e if exponent is None else exponent + e
+                else:
+                    out = apply_pairwise(
+                        x,
+                        y,
+                        step.l_legs,
+                        step.r_legs,
+                        step.out_legs,
+                        precision=precision,
+                        preferred_element_type=preferred_element_type,
+                    )
+                    if strip_exponent:
+                        out, e = _strip(out)
+                        exponent = (
+                            e if exponent is None else exponent + e
+                        )
                 if last_use.get(step.l) == si:
                     del temps[step.l]
                 if last_use.get(step.r) == si:
                     del temps[step.r]
-                if strip_exponent:
-                    out, e = _strip(out)
-                    exponent = e if exponent is None else exponent + e
             temps[step.out] = out
 
         result = temps[final_id]
@@ -205,6 +242,7 @@ def make_contractor(
     autojit=True,
     precision=None,
     preferred_element_type=None,
+    implementation=None,
 ):
     """Compile the *core* (single slice) contraction of ``tree``."""
     ir = extract_contractions(tree, order=order)
@@ -213,6 +251,7 @@ def make_contractor(
         strip_exponent=strip_exponent,
         precision=precision,
         preferred_element_type=preferred_element_type,
+        implementation=implementation,
     )
     if autojit:
         core = jax.jit(core)
@@ -227,6 +266,7 @@ def make_full_contractor(
     precision=None,
     preferred_element_type=None,
     slice_batch=None,
+    implementation=None,
 ):
     """Compile the FULL contraction of ``tree``: slice enumeration, inner
     sum and chunk reassembly all inside one jitted function.
@@ -241,6 +281,7 @@ def make_full_contractor(
         strip_exponent=strip_exponent,
         precision=precision,
         preferred_element_type=preferred_element_type,
+        implementation=implementation,
     )
 
     if not tree.sliced_inds:
