@@ -123,6 +123,13 @@ from .plot import _attach_plot_methods
 _attach_plot_methods()
 
 from .utils.io import hash_contraction_b, load_instance, save_instance
+from .config import (
+    default_implementation,
+    default_options,
+    get_default_implementation,
+    set_default_implementation,
+)
+from .models.instances import networkx_graph_to_equation
 
 __all__ = [
     "array_contract",

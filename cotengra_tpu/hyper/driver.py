@@ -188,7 +188,7 @@ class HyperOptimizer(PathOptimizer):
         minimize="flops",
         max_repeats=128,
         max_time=None,
-        optlib="evo",
+        optlib="auto",
         parallel=False,
         slicing_opts=None,
         slicing_reconf_opts=None,

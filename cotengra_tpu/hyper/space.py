@@ -204,6 +204,12 @@ def register_hyper_optlib(name, cls):
 
 
 def get_optlib(name):
+    if name == "auto":
+        # preference ladder (reference: optuna -> cmaes -> sbplx)
+        for cand in ("optuna", "evo"):
+            if cand in _OPTLIB_REGISTRY:
+                name = cand
+                break
     try:
         return _OPTLIB_REGISTRY[name]
     except KeyError:

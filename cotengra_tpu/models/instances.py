@@ -178,6 +178,23 @@ def perverse_equation(
     return _finalize(inputs, output, size_dict)
 
 
+def networkx_graph_to_equation(G, d_min=2, d_max=3, seed=None):
+    """Turn any networkx graph into a contraction: one tensor per node,
+    one index per edge (reference ``utils.py:865``).
+    """
+    rng = get_rng(seed)
+    nodes = list(G.nodes())
+    pos = {n: i for i, n in enumerate(nodes)}
+    inputs = [[] for _ in nodes]
+    size_dict = {}
+    for c, (u, v) in enumerate(G.edges()):
+        ix = get_symbol(c)
+        size_dict[ix] = rng.randint(d_min, d_max)
+        inputs[pos[u]].append(ix)
+        inputs[pos[v]].append(ix)
+    return _finalize(inputs, [], size_dict)
+
+
 def lattice_equation(dims, cyclic=False, d_min=2, d_max=None, seed=None):
     """Hypercubic-lattice contraction: one tensor per site, one index per
     lattice bond, optional periodic boundaries, no output.

@@ -514,6 +514,13 @@ def contract_slice(tree, arrays, i, **kwargs):
 
 def contract_tree(tree, arrays, strip_exponent=False, **kwargs):
     """Contract the full (possibly sliced) tree in one jitted call."""
+    from ..config import get_default
+
+    for key in ("implementation", "slice_batch", "precision"):
+        if kwargs.get(key) is None:
+            v = get_default(key)
+            if v is not None:
+                kwargs[key] = v
     fn = _cached_full(tree, strip_exponent=strip_exponent, **kwargs)
     return fn(*arrays)
 
