@@ -115,23 +115,29 @@ def main():
     def run_slice(i):
         return core(*slice_arrays(tree, arrays, i))
 
-    # compile + warm up; the axon remote-compile helper can be killed on
-    # very large single programs - fall back to a staged compile
+    # the axon remote-compile helper SIGKILLs / times out on large single
+    # programs (observed: OK at 2^18 intermediates, dead at >=2^24) - go
+    # staged proactively for big cores, with a reactive fallback too
+    def build_staged():
+        from cotengra_tpu.ops.executor import make_staged_contractor
+
+        nsteps = len(tree.extract_contractions().steps)
+        stages = max(2, -(-nsteps // 50))
+        print(f"# staged compile: {stages} stages", file=sys.stderr)
+        return make_staged_contractor(tree, num_stages=stages)
+
+    if tree.max_size() > 2**22:
+        core = build_staged()
+
     try:
         out = run_slice(0)
         jax.block_until_ready(out)
     except Exception as exc:
         print(
-            f"# single-program compile failed ({type(exc).__name__}); "
-            "retrying staged",
+            f"# compile failed ({type(exc).__name__}); retrying staged",
             file=sys.stderr,
         )
-        from cotengra_tpu.ops.executor import make_staged_contractor
-
-        nsteps = len(tree.extract_contractions().steps)
-        core = make_staged_contractor(
-            tree, num_stages=max(2, -(-nsteps // 60))
-        )
+        core = build_staged()
         out = run_slice(0)
         jax.block_until_ready(out)
     t_compile = time.time() - t0 - t_plan
