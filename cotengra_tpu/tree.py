@@ -1201,6 +1201,30 @@ class ContractionTree:
         self.already_optimized = {}
         self.contraction_cores = {}
 
+    def simulated_anneal(self, inplace=False, **opts):
+        """Simulated-annealing refinement (see
+        :func:`~cotengra_tpu.pathfinders.annealing.simulated_anneal_tree`).
+        """
+        from .pathfinders.annealing import simulated_anneal_tree
+
+        return simulated_anneal_tree(self, inplace=inplace, **opts)
+
+    simulated_anneal_ = functools.partialmethod(
+        simulated_anneal, inplace=True
+    )
+
+    def parallel_temper(self, inplace=False, **opts):
+        """Parallel-tempering refinement (see
+        :func:`~cotengra_tpu.pathfinders.annealing.parallel_temper_tree`).
+        """
+        from .pathfinders.annealing import parallel_temper_tree
+
+        return parallel_temper_tree(self, inplace=inplace, **opts)
+
+    parallel_temper_ = functools.partialmethod(
+        parallel_temper, inplace=True
+    )
+
     # -- hypergraph / misc -------------------------------------------------------
 
     def get_hypergraph(self, accel=False):

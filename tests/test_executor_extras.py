@@ -45,6 +45,34 @@ def test_tree_benchmark():
     assert stats["gflops_per_sec"] > 0
 
 
+def test_contraction_is_differentiable():
+    """The whole (sliced) contraction is jax-differentiable - a
+    first-class capability of the jax-native execution path."""
+    import jax
+    import jax.numpy as jnp
+
+    inputs, output, shapes, size_dict = ctg.rand_equation(
+        7, 3, seed=4
+    )
+    rng = np.random.default_rng(0)
+    arrays = [jnp.asarray(rng.normal(size=s)) for s in shapes]
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    tree.slice_(target_slices=2)
+
+    def loss(a0):
+        return tree.contract([a0, *arrays[1:]]) ** 2
+
+    g = jax.grad(loss)(arrays[0])
+    assert g.shape == arrays[0].shape
+    # finite-difference check on one element
+    eps = 1e-6
+    bumped = arrays[0].at[(0,) * arrays[0].ndim].add(eps)
+    fd = (loss(bumped) - loss(arrays[0])) / eps
+    assert np.isclose(float(g[(0,) * g.ndim]), float(fd), rtol=1e-3)
+
+
 def test_config_defaults_used():
     inputs, output, shapes, size_dict = ctg.rand_equation(6, 3, seed=2)
     rng = np.random.default_rng(0)
