@@ -94,6 +94,89 @@ def _pair_plan(l_legs, r_legs, out_legs):
     return l_sum, r_sum, ((lc, rc), (lb, rb)), perm
 
 
+# above this many total dims, lower to an explicit 3-D batched matmul:
+# high-rank dot_generals (e.g. 25 size-2 axes on circuit TNs) explode TPU
+# compile time and get poor layouts, while reshape(B, M, K) @ (B, K, N)
+# is the shape the MXU pipeline is built for
+MAX_DIRECT_NDIM = 10
+
+
+@functools.lru_cache(maxsize=2**14)
+def _bmm_plan(l_legs, r_legs, out_legs):
+    """Plan transposes/reshapes for the 3-D batched-matmul lowering."""
+    out_set = set(out_legs)
+    l_set, r_set = set(l_legs), set(r_legs)
+    shared = l_set & r_set
+    batch = tuple(ix for ix in l_legs if ix in shared and ix in out_set)
+    contract = tuple(
+        ix for ix in l_legs if ix in shared and ix not in out_set
+    )
+    l_free = tuple(
+        ix for ix in l_legs if ix not in shared and ix in out_set
+    )
+    r_free = tuple(
+        ix for ix in r_legs if ix not in shared and ix in out_set
+    )
+    l_perm = (
+        tuple(l_legs.index(ix) for ix in batch)
+        + tuple(l_legs.index(ix) for ix in l_free)
+        + tuple(l_legs.index(ix) for ix in contract)
+    )
+    r_perm = (
+        tuple(r_legs.index(ix) for ix in batch)
+        + tuple(r_legs.index(ix) for ix in contract)
+        + tuple(r_legs.index(ix) for ix in r_free)
+    )
+    computed = batch + l_free + r_free
+    if computed == tuple(out_legs):
+        out_perm = None
+    else:
+        out_perm = tuple(computed.index(ix) for ix in out_legs)
+    return (
+        batch, contract, l_free, r_free, l_perm, r_perm, out_perm,
+    )
+
+
+def _apply_pairwise_bmm(
+    x, y, l_legs, r_legs, out_legs, precision, preferred_element_type
+):
+    (batch, contract, l_free, r_free, l_perm, r_perm, out_perm) = (
+        _bmm_plan(tuple(l_legs), tuple(r_legs), tuple(out_legs))
+    )
+    nb, nc, nlf, nrf = (
+        len(batch), len(contract), len(l_free), len(r_free),
+    )
+    xt = jnp.transpose(x, l_perm)
+    yt = jnp.transpose(y, r_perm)
+    bshape = xt.shape[:nb]
+    lf_shape = xt.shape[nb:nb + nlf]
+    rf_shape = yt.shape[nb + nc:]
+
+    def _prod(s):
+        p = 1
+        for d in s:
+            p *= d
+        return p
+
+    B, M, K, N = (
+        _prod(bshape), _prod(lf_shape),
+        _prod(xt.shape[nb + nlf:]), _prod(rf_shape),
+    )
+    x3 = xt.reshape(B, M, K)
+    y3 = yt.reshape(B, K, N)
+    out3 = jax.lax.dot_general(
+        x3,
+        y3,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=precision,
+        preferred_element_type=preferred_element_type,
+    )
+    out = out3.reshape(*bshape, *lf_shape, *rf_shape)
+    if out_perm is not None:
+        out = jnp.transpose(out, out_perm)
+    return out
+
+
 def apply_pairwise(
     x,
     y,
@@ -105,14 +188,33 @@ def apply_pairwise(
 ):
     """Contract two tensors: ``out_legs`` determines which shared indices
     are batch (kept) vs contracted (summed).
+
+    Low-rank steps lower directly to ``dot_general`` with dimension
+    numbers; high-rank steps (many small axes, as in bond-2 circuit TNs)
+    are reshaped into a 3-D batched matmul first - the TPU compiler
+    handles ~25-dimensional dot_generals catastrophically badly, while
+    fused-axis matmuls are its native shape.
     """
     l_sum, r_sum, dnums, perm = _pair_plan(
         tuple(l_legs), tuple(r_legs), tuple(out_legs)
     )
     if l_sum:
         x = jnp.sum(x, axis=l_sum)
+        l_legs = tuple(
+            ix for i, ix in enumerate(l_legs) if i not in set(l_sum)
+        )
     if r_sum:
         y = jnp.sum(y, axis=r_sum)
+        r_legs = tuple(
+            ix for i, ix in enumerate(r_legs) if i not in set(r_sum)
+        )
+
+    if max(x.ndim, y.ndim, len(out_legs)) > MAX_DIRECT_NDIM:
+        return _apply_pairwise_bmm(
+            x, y, l_legs, r_legs, out_legs, precision,
+            preferred_element_type,
+        )
+
     out = jax.lax.dot_general(
         x,
         y,
