@@ -162,8 +162,11 @@ def _apply_pairwise_bmm(
         _prod(bshape), _prod(lf_shape),
         _prod(xt.shape[nb + nlf:]), _prod(rf_shape),
     )
-    x3 = xt.reshape(B, M, K)
-    y3 = yt.reshape(B, K, N)
+    # optimization barriers stop XLA fusing the high-rank
+    # transpose/reshape into the matmul - that fusion makes the TPU
+    # compiler take minutes (observed 209s -> 1.1s for one 22-dim step)
+    x3 = jax.lax.optimization_barrier(xt.reshape(B, M, K))
+    y3 = jax.lax.optimization_barrier(yt.reshape(B, K, N))
     out3 = jax.lax.dot_general(
         x3,
         y3,
@@ -171,6 +174,7 @@ def _apply_pairwise_bmm(
         precision=precision,
         preferred_element_type=preferred_element_type,
     )
+    out3 = jax.lax.optimization_barrier(out3)
     out = out3.reshape(*bshape, *lf_shape, *rf_shape)
     if out_perm is not None:
         out = jnp.transpose(out, out_perm)
