@@ -126,9 +126,6 @@ def main():
         print(f"# staged compile: {stages} stages", file=sys.stderr)
         return make_staged_contractor(tree, num_stages=stages)
 
-    if tree.max_size() > 2**22:
-        core = build_staged()
-
     try:
         out = run_slice(0)
         jax.block_until_ready(out)

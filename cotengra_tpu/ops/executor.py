@@ -144,6 +144,63 @@ def build_core_fn(
     return core
 
 
+# steps whose tensors exceed this rank route through the grouped-flat
+# executor (TPU compile cost explodes with rank - see ops/grouped.py)
+MAX_RANK_DIRECT = 12
+
+
+def _ir_max_rank(ir):
+    mx = 0
+    for step in ir.steps:
+        if isinstance(step, SingleStep):
+            mx = max(mx, len(step.in_legs), len(step.out_legs))
+        else:
+            mx = max(
+                mx,
+                len(step.l_legs),
+                len(step.r_legs),
+                len(step.out_legs),
+            )
+    return mx
+
+
+def _build_best_core(
+    tree,
+    ir,
+    strip_exponent=False,
+    precision=None,
+    preferred_element_type=None,
+    implementation=None,
+):
+    """Pick the core builder: grouped-flat for high-rank IRs (bond-2
+    circuit networks), direct per-step lowering otherwise."""
+    if (
+        implementation in (None, "auto", "grouped")
+        and _ir_max_rank(ir) > MAX_RANK_DIRECT
+    ) or implementation == "grouped":
+        from .lowering import sliced_input_legs
+        from .grouped import build_grouped_core_fn
+
+        input_orders = [
+            sliced_input_legs(tree, i) for i in range(tree.N)
+        ]
+        return build_grouped_core_fn(
+            ir,
+            strip_exponent=strip_exponent,
+            precision=precision,
+            preferred_element_type=preferred_element_type,
+            size_dict=tree.size_dict,
+            input_orders=input_orders,
+        )
+    return build_core_fn(
+        ir,
+        strip_exponent=strip_exponent,
+        precision=precision,
+        preferred_element_type=preferred_element_type,
+        implementation=implementation,
+    )
+
+
 def _sliced_axes_per_input(tree):
     """For each input: the (axis, ind) pairs of sliced indices, in
     descending axis order (so successive removals keep positions valid).
@@ -246,7 +303,8 @@ def make_contractor(
 ):
     """Compile the *core* (single slice) contraction of ``tree``."""
     ir = extract_contractions(tree, order=order)
-    core = build_core_fn(
+    core = _build_best_core(
+        tree,
         ir,
         strip_exponent=strip_exponent,
         precision=precision,
@@ -276,7 +334,8 @@ def make_full_contractor(
     slices are small, at B-times the intermediate memory.
     """
     ir = extract_contractions(tree, order=order)
-    core = build_core_fn(
+    core = _build_best_core(
+        tree,
         ir,
         strip_exponent=strip_exponent,
         precision=precision,

@@ -1,0 +1,295 @@
+"""Grouped-layout execution: bound every XLA op to LOW RANK.
+
+The TPU compiler's cost explodes with tensor rank (a trivial elementwise
+op on a rank-18 tensor takes seconds to compile; rank-23+ contraction
+steps take minutes or OOM the compile helper). Bond-2 tensor networks
+produce intermediates with 20-30 size-2 axes, so the naive per-step
+lowering is catastrophically slow to compile *regardless* of how each
+step is expressed.
+
+This executor therefore never materializes a high-rank tensor in any XLA
+op:
+
+- every intermediate is stored FLAT (1-D), with its logical axis order
+  tracked host-side;
+- each pairwise step reshapes its inputs directly into the 3-D
+  ``(batch, M, K) x (batch, K, N)`` matmul form. The permutation from an
+  input's stored order to the required grouped order is executed as a
+  *block transpose*: maximal runs of axes that stay together are fused
+  into single dimensions first, so the physical transpose acts on a
+  handful of blocks, not the full rank;
+- group orders are canonicalized to the LARGER input's stored order, so
+  the big tensor in a step is usually already laid out correctly (zero
+  or near-zero blocks) and the small tensor (e.g. a rank-4 gate) absorbs
+  the cheap transpose;
+- optimization barriers isolate the matmul from the reshape/transpose
+  chain (the fusion itself is another compile-time trap).
+
+This is the fused-modes BMM execution model (what dedicated contraction
+engines use internally), propagated through the whole tree so the
+high-rank form never exists on device.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.misc import prod
+from .lowering import SingleStep
+from .pairwise import apply_pairwise, apply_single
+
+
+def _block_plan(cur, tgt, sizes):
+    """Plan a block transpose taking stored order ``cur`` to ``tgt``.
+
+    Returns ``(block_dims, perm)``: reshape the flat tensor to
+    ``block_dims`` (contiguous runs of ``cur``), apply ``perm``, and the
+    result is contiguous in ``tgt`` order. Returns ``None`` if cur == tgt
+    (no op needed).
+    """
+    cur = tuple(cur)
+    tgt = tuple(tgt)
+    if cur == tgt:
+        return None
+    pos = {ix: i for i, ix in enumerate(cur)}
+    # greedy maximal runs: walk tgt, extend while consecutive in cur
+    blocks = []  # (cur_start, length)
+    i = 0
+    n = len(tgt)
+    while i < n:
+        start = pos[tgt[i]]
+        length = 1
+        while (
+            i + length < n and pos[tgt[i + length]] == start + length
+        ):
+            length += 1
+        blocks.append((start, length))
+        i += length
+    # reshape partition: blocks sorted by cur position
+    order = sorted(range(len(blocks)), key=lambda b: blocks[b][0])
+    block_dims = tuple(
+        prod(sizes[cur[blocks[b][0] + k]] for k in range(blocks[b][1]))
+        for b in order
+    )
+    # perm: for each block in tgt appearance order, its index in the
+    # cur-sorted reshape
+    rank_of = {b: r for r, b in enumerate(order)}
+    perm = tuple(rank_of[b] for b in range(len(blocks)))
+    return block_dims, perm
+
+
+def _apply_block_plan(flat, plan):
+    if plan is None:
+        return flat
+    block_dims, perm = plan
+    t = flat.reshape(block_dims)
+    t = jnp.transpose(t, perm)
+    return jax.lax.optimization_barrier(t).reshape(-1)
+
+
+class _GroupedPair:
+    """Precomputed plan for one pairwise step."""
+
+    __slots__ = (
+        "x_id", "y_id", "out_id",
+        "x_plan", "y_plan",
+        "x3", "y3",  # (B, M, K) / (B, K, N)
+        "out_order",  # logical storage order of the output
+        "fallback",  # legs for apply_pairwise fallback, or None
+    )
+
+
+def build_grouped_core_fn(
+    ir,
+    strip_exponent=False,
+    precision=None,
+    preferred_element_type=None,
+    size_dict=None,
+    input_orders=None,
+):
+    """Build a core function executing the IR in grouped-flat form.
+
+    Parameters
+    ----------
+    ir : ContractionIR
+    size_dict : dict[label, int]
+        Sizes of every index (required).
+    input_orders : sequence[tuple]
+        The logical axis order of each input array as passed in (i.e. the
+        sliced input terms).
+    """
+    steps = ir.steps
+    last_use = ir.last_use
+    final_id = ir.final_id
+
+    sizes = dict(size_dict)
+
+    # host-side symbolic pass: track stored orders, build plans
+    storage = {}
+    for i, order in enumerate(input_orders):
+        storage[i] = tuple(order)
+
+    plans = []
+    for step in steps:
+        if isinstance(step, SingleStep):
+            plans.append(("single", step))
+            storage[step.out] = tuple(step.out_legs)
+            continue
+
+        x_order = storage[step.l]
+        y_order = storage[step.r]
+        out_set = set(step.out_legs)
+        x_set, y_set = set(x_order), set(y_order)
+        shared = x_set & y_set
+
+        b = [ix for ix in x_order if ix in shared and ix in out_set]
+        c = [ix for ix in x_order if ix in shared and ix not in out_set]
+        m = [ix for ix in x_order if ix not in shared]
+        ny = [ix for ix in y_order if ix not in shared]
+
+        # defensive: free axes not kept need pre-sums - rare; fall back
+        if any(ix not in out_set for ix in m + ny) or set(
+            step.out_legs
+        ) != set(b + m + ny):
+            plans.append(("fallback", step))
+            storage[step.out] = tuple(step.out_legs)
+            continue
+
+        xsize = prod(sizes[ix] for ix in x_order)
+        ysize = prod(sizes[ix] for ix in y_order)
+        if ysize > xsize:
+            # canonical group orders follow the bigger input
+            b = [ix for ix in y_order if ix in shared and ix in out_set]
+            c = [
+                ix
+                for ix in y_order
+                if ix in shared and ix not in out_set
+            ]
+
+        x_req = tuple(b) + tuple(m) + tuple(c)
+        y_req = tuple(b) + tuple(c) + tuple(ny)
+
+        p = _GroupedPair()
+        p.x_id, p.y_id, p.out_id = step.l, step.r, step.out
+        p.x_plan = _block_plan(x_order, x_req, sizes)
+        p.y_plan = _block_plan(y_order, y_req, sizes)
+        B = prod(sizes[ix] for ix in b)
+        M = prod(sizes[ix] for ix in m)
+        K = prod(sizes[ix] for ix in c)
+        N = prod(sizes[ix] for ix in ny)
+        p.x3 = (B, M, K)
+        p.y3 = (B, K, N)
+        p.out_order = tuple(b) + tuple(m) + tuple(ny)
+        p.fallback = None
+        plans.append(("pair", p))
+        storage[step.out] = p.out_order
+
+    # final rearrangement to the true output order
+    final_order = storage.get(final_id, ())
+    out_plan = _block_plan(
+        final_order,
+        tuple(ir.output_legs),
+        sizes,
+    ) if tuple(final_order) != tuple(ir.output_legs) else None
+    out_shape = tuple(sizes[ix] for ix in ir.output_legs)
+
+    def core(*arrays):
+        # flatten inputs
+        temps = {i: jnp.ravel(a) for i, a in enumerate(arrays)}
+        # but singles/fallbacks need full-rank forms: keep shapes handy
+        full_shapes = {
+            i: tuple(sizes[ix] for ix in input_orders[i])
+            for i in range(len(arrays))
+        }
+        exponent = None
+
+        def acc_exp(e):
+            nonlocal exponent
+            exponent = e if exponent is None else exponent + e
+
+        for si, (kind, info) in enumerate(plans):
+            if kind == "single":
+                step = info
+                x = temps[step.inp].reshape(full_shapes[step.inp])
+                out = apply_single(x, step.in_legs, step.out_legs)
+                temps[step.out] = jnp.ravel(out)
+                full_shapes[step.out] = out.shape
+                if last_use.get(step.inp) == si:
+                    del temps[step.inp]
+                continue
+            if kind == "fallback":
+                step = info
+                x = temps[step.l].reshape(full_shapes[step.l])
+                y = temps[step.r].reshape(full_shapes[step.r])
+                out = apply_pairwise(
+                    x, y, step.l_legs, step.r_legs, step.out_legs,
+                    precision=precision,
+                    preferred_element_type=preferred_element_type,
+                )
+                if strip_exponent:
+                    absmax = jnp.max(jnp.abs(out))
+                    scale = jnp.where(
+                        absmax == 0, jnp.ones_like(absmax), absmax
+                    )
+                    out = out / scale
+                    acc_exp(
+                        jnp.log10(scale).astype(
+                            jnp.finfo(scale.dtype).dtype
+                        )
+                    )
+                temps[step.out] = jnp.ravel(out)
+                full_shapes[step.out] = out.shape
+                for vid in (step.l, step.r):
+                    if last_use.get(vid) == si:
+                        temps.pop(vid, None)
+                continue
+
+            p = info
+            x3 = _apply_block_plan(temps[p.x_id], p.x_plan).reshape(p.x3)
+            y3 = _apply_block_plan(temps[p.y_id], p.y_plan).reshape(p.y3)
+            x3 = jax.lax.optimization_barrier(x3)
+            y3 = jax.lax.optimization_barrier(y3)
+            out3 = jax.lax.dot_general(
+                x3,
+                y3,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=precision,
+                preferred_element_type=preferred_element_type,
+            )
+            out3 = jax.lax.optimization_barrier(out3)
+            if strip_exponent:
+                absmax = jnp.max(jnp.abs(out3))
+                scale = jnp.where(
+                    absmax == 0, jnp.ones_like(absmax), absmax
+                )
+                out3 = out3 / scale
+                acc_exp(
+                    jnp.log10(scale).astype(
+                        jnp.finfo(scale.dtype).dtype
+                    )
+                )
+            temps[p.out_id] = jnp.ravel(out3)
+            full_shapes[p.out_id] = tuple(
+                sizes[ix] for ix in p.out_order
+            )
+            for vid in (p.x_id, p.y_id):
+                if last_use.get(vid) == si:
+                    temps.pop(vid, None)
+
+        result = _apply_block_plan(temps[final_id], out_plan)
+        result = result.reshape(out_shape)
+        if strip_exponent:
+            if exponent is None:
+                exponent = jnp.zeros(
+                    (),
+                    jnp.finfo(result.dtype).dtype
+                    if not jnp.issubdtype(
+                        result.dtype, jnp.complexfloating
+                    )
+                    else jnp.finfo(
+                        jnp.zeros((), result.dtype).real.dtype
+                    ).dtype,
+                )
+            return result, exponent
+        return result
+
+    return core

@@ -23,9 +23,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.executor import (
     _add_stripped,
+    _build_best_core,
     _chunk_structure,
     _reassemble,
-    build_core_fn,
     make_traced_slicer,
 )
 from ..ops.lowering import extract_contractions
@@ -63,7 +63,8 @@ def make_sharded_contractor(
     from jax import shard_map
 
     ir = extract_contractions(tree)
-    core = build_core_fn(
+    core = _build_best_core(
+        tree,
         ir,
         strip_exponent=strip_exponent,
         precision=precision,
