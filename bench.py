@@ -119,12 +119,17 @@ def main():
     # programs (observed: OK at 2^18 intermediates, dead at >=2^24) - go
     # staged proactively for big cores, with a reactive fallback too
     def build_staged():
-        from cotengra_tpu.ops.executor import make_staged_contractor
+        from cotengra_tpu.ops.grouped import (
+            make_grouped_staged_contractor,
+        )
 
-        nsteps = len(tree.extract_contractions().steps)
-        stages = max(2, -(-nsteps // 50))
-        print(f"# staged compile: {stages} stages", file=sys.stderr)
-        return make_staged_contractor(tree, num_stages=stages)
+        print("# staged grouped compile (12 steps/stage)", file=sys.stderr)
+        return make_grouped_staged_contractor(tree, stage_size=12)
+
+    if tree.max_size() > 2**20:
+        # the remote compile helper is slow per-op on large buffers in
+        # one big program; many small programs compile reliably
+        core = build_staged()
 
     try:
         out = run_slice(0)

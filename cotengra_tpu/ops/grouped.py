@@ -98,32 +98,15 @@ class _GroupedPair:
     )
 
 
-def build_grouped_core_fn(
-    ir,
-    strip_exponent=False,
-    precision=None,
-    preferred_element_type=None,
-    size_dict=None,
-    input_orders=None,
-):
-    """Build a core function executing the IR in grouped-flat form.
+def plan_grouped(ir, size_dict, input_orders):
+    """Host-side symbolic pass: stored orders + per-step plans.
 
-    Parameters
-    ----------
-    ir : ContractionIR
-    size_dict : dict[label, int]
-        Sizes of every index (required).
-    input_orders : sequence[tuple]
-        The logical axis order of each input array as passed in (i.e. the
-        sliced input terms).
+    Returns ``(plans, storage, out_plan, out_shape)``.
     """
     steps = ir.steps
-    last_use = ir.last_use
     final_id = ir.final_id
-
     sizes = dict(size_dict)
 
-    # host-side symbolic pass: track stored orders, build plans
     storage = {}
     for i, order in enumerate(input_orders):
         storage[i] = tuple(order)
@@ -147,10 +130,16 @@ def build_grouped_core_fn(
         ny = [ix for ix in y_order if ix not in shared]
 
         # defensive: free axes not kept need pre-sums - rare; fall back
+        # (recording the STORED orders, which are the actual axis labels
+        # of the flat tensors at runtime)
         if any(ix not in out_set for ix in m + ny) or set(
             step.out_legs
         ) != set(b + m + ny):
-            plans.append(("fallback", step))
+            x_dims = tuple(sizes[ix] for ix in x_order)
+            y_dims = tuple(sizes[ix] for ix in y_order)
+            plans.append(
+                ("fallback", (step, x_order, y_order, x_dims, y_dims))
+            )
             storage[step.out] = tuple(step.out_legs)
             continue
 
@@ -191,105 +180,254 @@ def build_grouped_core_fn(
         sizes,
     ) if tuple(final_order) != tuple(ir.output_legs) else None
     out_shape = tuple(sizes[ix] for ix in ir.output_legs)
+    return plans, storage, out_plan, out_shape
 
-    def core(*arrays):
-        # flatten inputs
-        temps = {i: jnp.ravel(a) for i, a in enumerate(arrays)}
-        # but singles/fallbacks need full-rank forms: keep shapes handy
-        full_shapes = {
-            i: tuple(sizes[ix] for ix in input_orders[i])
-            for i in range(len(arrays))
-        }
-        exponent = None
 
-        def acc_exp(e):
-            nonlocal exponent
-            exponent = e if exponent is None else exponent + e
+def _exec_steps(
+    plans,
+    indices,
+    temps,
+    shapes,
+    last_use,
+    strip_exponent,
+    precision,
+    preferred_element_type,
+    exponent,
+):
+    """Execute the plan steps at ``indices`` over the dict of flat
+    tensors ``temps`` (mutated in place; ``shapes`` maps id -> full
+    logical shape). Returns the running exponent."""
+    for si in indices:
+        kind, info = plans[si]
+        if kind == "single":
+            step = info
+            x = temps[step.inp].reshape(shapes[step.inp])
+            out = apply_single(x, step.in_legs, step.out_legs)
+            temps[step.out] = jnp.ravel(out)
+            shapes[step.out] = out.shape
+            if last_use.get(step.inp) == si:
+                del temps[step.inp]
+            continue
 
-        for si, (kind, info) in enumerate(plans):
-            if kind == "single":
-                step = info
-                x = temps[step.inp].reshape(full_shapes[step.inp])
-                out = apply_single(x, step.in_legs, step.out_legs)
-                temps[step.out] = jnp.ravel(out)
-                full_shapes[step.out] = out.shape
-                if last_use.get(step.inp) == si:
-                    del temps[step.inp]
-                continue
-            if kind == "fallback":
-                step = info
-                x = temps[step.l].reshape(full_shapes[step.l])
-                y = temps[step.r].reshape(full_shapes[step.r])
-                out = apply_pairwise(
-                    x, y, step.l_legs, step.r_legs, step.out_legs,
-                    precision=precision,
-                    preferred_element_type=preferred_element_type,
-                )
-                if strip_exponent:
-                    absmax = jnp.max(jnp.abs(out))
-                    scale = jnp.where(
-                        absmax == 0, jnp.ones_like(absmax), absmax
-                    )
-                    out = out / scale
-                    acc_exp(
-                        jnp.log10(scale).astype(
-                            jnp.finfo(scale.dtype).dtype
-                        )
-                    )
-                temps[step.out] = jnp.ravel(out)
-                full_shapes[step.out] = out.shape
-                for vid in (step.l, step.r):
-                    if last_use.get(vid) == si:
-                        temps.pop(vid, None)
-                continue
-
-            p = info
-            x3 = _apply_block_plan(temps[p.x_id], p.x_plan).reshape(p.x3)
-            y3 = _apply_block_plan(temps[p.y_id], p.y_plan).reshape(p.y3)
-            x3 = jax.lax.optimization_barrier(x3)
-            y3 = jax.lax.optimization_barrier(y3)
-            out3 = jax.lax.dot_general(
-                x3,
-                y3,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        if kind == "fallback":
+            step, x_order, y_order, x_dims, y_dims = info
+            x = temps[step.l].reshape(x_dims)
+            y = temps[step.r].reshape(y_dims)
+            out = apply_pairwise(
+                x, y, x_order, y_order, step.out_legs,
                 precision=precision,
                 preferred_element_type=preferred_element_type,
             )
-            out3 = jax.lax.optimization_barrier(out3)
             if strip_exponent:
-                absmax = jnp.max(jnp.abs(out3))
+                absmax = jnp.max(jnp.abs(out))
                 scale = jnp.where(
                     absmax == 0, jnp.ones_like(absmax), absmax
                 )
-                out3 = out3 / scale
-                acc_exp(
-                    jnp.log10(scale).astype(
-                        jnp.finfo(scale.dtype).dtype
-                    )
-                )
-            temps[p.out_id] = jnp.ravel(out3)
-            full_shapes[p.out_id] = tuple(
-                sizes[ix] for ix in p.out_order
-            )
-            for vid in (p.x_id, p.y_id):
+                out = out / scale
+                e = jnp.log10(scale)
+                exponent = e if exponent is None else exponent + e
+            temps[step.out] = jnp.ravel(out)
+            shapes[step.out] = out.shape
+            for vid in (step.l, step.r):
                 if last_use.get(vid) == si:
                     temps.pop(vid, None)
+            continue
 
+        p = info
+        x3 = _apply_block_plan(temps[p.x_id], p.x_plan).reshape(p.x3)
+        y3 = _apply_block_plan(temps[p.y_id], p.y_plan).reshape(p.y3)
+        x3 = jax.lax.optimization_barrier(x3)
+        y3 = jax.lax.optimization_barrier(y3)
+        out3 = jax.lax.dot_general(
+            x3,
+            y3,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=precision,
+            preferred_element_type=preferred_element_type,
+        )
+        out3 = jax.lax.optimization_barrier(out3)
+        if strip_exponent:
+            absmax = jnp.max(jnp.abs(out3))
+            scale = jnp.where(
+                absmax == 0, jnp.ones_like(absmax), absmax
+            )
+            out3 = out3 / scale
+            e = jnp.log10(scale)
+            exponent = e if exponent is None else exponent + e
+        temps[p.out_id] = jnp.ravel(out3)
+        shapes[p.out_id] = (p.x3[0], p.x3[1], p.y3[2])
+        for vid in (p.x_id, p.y_id):
+            if last_use.get(vid) == si:
+                temps.pop(vid, None)
+    return exponent
+
+
+def _zero_exponent(result):
+    dt = result.dtype
+    if jnp.issubdtype(dt, jnp.complexfloating):
+        dt = jnp.zeros((), dt).real.dtype
+    return jnp.zeros((), dt)
+
+
+def build_grouped_core_fn(
+    ir,
+    strip_exponent=False,
+    precision=None,
+    preferred_element_type=None,
+    size_dict=None,
+    input_orders=None,
+):
+    """Single-function grouped-flat executor over the whole IR."""
+    plans, storage, out_plan, out_shape = plan_grouped(
+        ir, size_dict, input_orders
+    )
+    last_use = ir.last_use
+    final_id = ir.final_id
+    sizes = dict(size_dict)
+    in_shapes = {
+        i: tuple(sizes[ix] for ix in input_orders[i])
+        for i in range(ir.num_inputs)
+    }
+
+    def core(*arrays):
+        temps = {i: jnp.ravel(a) for i, a in enumerate(arrays)}
+        shapes = dict(in_shapes)
+        exponent = _exec_steps(
+            plans, range(len(plans)), temps, shapes, last_use,
+            strip_exponent, precision, preferred_element_type, None,
+        )
         result = _apply_block_plan(temps[final_id], out_plan)
         result = result.reshape(out_shape)
         if strip_exponent:
             if exponent is None:
-                exponent = jnp.zeros(
-                    (),
-                    jnp.finfo(result.dtype).dtype
-                    if not jnp.issubdtype(
-                        result.dtype, jnp.complexfloating
-                    )
-                    else jnp.finfo(
-                        jnp.zeros((), result.dtype).real.dtype
-                    ).dtype,
-                )
+                exponent = _zero_exponent(result)
             return result, exponent
         return result
 
     return core
+
+
+def make_grouped_staged_contractor(
+    tree,
+    stage_size=12,
+    strip_exponent=False,
+    precision=None,
+    preferred_element_type=None,
+    autojit=True,
+):
+    """Grouped-flat executor compiled as many small jitted stages.
+
+    On backends whose compiler is slow per-op for large buffers (the
+    remote TPU compile helper), one big program can take tens of minutes;
+    ~``stage_size``-step stages compile independently (and hit the
+    persistent cache independently), at the cost of one dispatch per
+    stage.
+    """
+    from .lowering import extract_contractions, sliced_input_legs
+
+    ir = extract_contractions(tree)
+    input_orders = [sliced_input_legs(tree, i) for i in range(tree.N)]
+    plans, storage, out_plan, out_shape = plan_grouped(
+        ir, tree.size_dict, input_orders
+    )
+    last_use = ir.last_use
+    final_id = ir.final_id
+    sizes = dict(tree.size_dict)
+    in_shapes = {
+        i: tuple(sizes[ix] for ix in input_orders[i])
+        for i in range(ir.num_inputs)
+    }
+
+    n = len(plans)
+    stage_size = max(1, stage_size)
+    bounds = list(range(0, n, stage_size)) + [n]
+
+    # symbolic liveness: which ids are live entering each stage
+    def stage_fn(start, end, carry_ids, out_ids, shapes_static):
+        def fn(carry, exponent=None):
+            temps = dict(zip(carry_ids, carry))
+            shapes = dict(shapes_static)
+            exponent = _exec_steps(
+                plans, range(start, end), temps, shapes, last_use,
+                strip_exponent, precision, preferred_element_type,
+                exponent,
+            )
+            outs = tuple(temps[i] for i in out_ids)
+            if strip_exponent:
+                if exponent is None:
+                    exponent = _zero_exponent(outs[0])
+                return outs, exponent
+            return outs
+
+        return jax.jit(fn) if autojit else fn
+
+    # determine produced/used ids per stage to compute carries
+    def step_ids(si):
+        kind, info = plans[si]
+        if kind == "pair":
+            return (info.x_id, info.y_id), info.out_id
+        step = info
+        if kind == "single":
+            return (step.inp,), step.out
+        return (step.l, step.r), step.out
+
+    defined_at = {i: -1 for i in range(ir.num_inputs)}
+    for si in range(n):
+        _, out = step_ids(si)
+        defined_at[out] = si
+
+    def live_ids(boundary_step):
+        out = []
+        for vid, d in defined_at.items():
+            if d < boundary_step:
+                lu = last_use.get(vid)
+                if vid == final_id or (
+                    lu is not None and lu >= boundary_step
+                ):
+                    out.append(vid)
+        return sorted(out)
+
+    stages = []
+    carries = [list(range(ir.num_inputs))]
+    for k in range(len(bounds) - 1):
+        start, end = bounds[k], bounds[k + 1]
+        carry_in = carries[-1]
+        carry_out = live_ids(end) if end < n else [final_id]
+        # shapes of everything (static, known host-side)
+        shapes_static = dict(in_shapes)
+        for si in range(n):
+            kind, info = plans[si]
+            if kind == "pair":
+                shapes_static[info.out_id] = (
+                    info.x3[0], info.x3[1], info.y3[2]
+                )
+            else:
+                step = info
+                shapes_static[step.out] = tuple(
+                    sizes[ix] for ix in storage[step.out]
+                )
+        stages.append(
+            (stage_fn(start, end, carry_in, carry_out, shapes_static),
+             carry_out)
+        )
+        carries.append(carry_out)
+
+    def fn(*arrays):
+        carry = tuple(jnp.ravel(a) for a in arrays)
+        exponent = None
+        for k, (sf, carry_out) in enumerate(stages):
+            if strip_exponent:
+                carry, exponent = (
+                    sf(carry) if exponent is None else sf(carry, exponent)
+                )
+            else:
+                carry = sf(carry)
+        (flat,) = carry
+        result = _apply_block_plan(flat, out_plan).reshape(out_shape)
+        if strip_exponent:
+            if exponent is None:
+                exponent = _zero_exponent(result)
+            return result, exponent
+        return result
+
+    return fn
