@@ -87,14 +87,25 @@ def _apply_block_plan(flat, plan):
 
 
 class _GroupedPair:
-    """Precomputed plan for one pairwise step."""
+    """Precomputed plan for one pairwise step.
+
+    ``mode`` selects a padding-aware lowering. TPU buffers pad their two
+    minor dimensions to (8, 128) tiles, so any materialized array whose
+    minor dims are tiny (e.g. a (1, 2^24, 2) matmul operand) blows up
+    memory by up to 64x and stalls/OOMs the compiler. Modes:
+
+    - "mac":    B==1, K<8  -> unrolled sum of 1-D vector MACs
+    - "matvec": B==1, K>=8, N<8 -> per-column matvecs, concatenated flat
+    - "mm":     B==1, K>=8, N>=8 -> (N,K)@(K,M) with big minor dims
+    - "bmm":    B>1 -> 3-D batched matmul (padding accepted; rare)
+    """
 
     __slots__ = (
         "x_id", "y_id", "out_id",
         "x_plan", "y_plan",
-        "x3", "y3",  # (B, M, K) / (B, K, N)
-        "out_order",  # logical storage order of the output
-        "fallback",  # legs for apply_pairwise fallback, or None
+        "mode",
+        "B", "M", "K", "N",
+        "out_order",
     )
 
 
@@ -138,37 +149,85 @@ def plan_grouped(ir, size_dict, input_orders):
             x_dims = tuple(sizes[ix] for ix in x_order)
             y_dims = tuple(sizes[ix] for ix in y_order)
             plans.append(
-                ("fallback", (step, x_order, y_order, x_dims, y_dims))
+                (
+                    "fallback",
+                    (step, step.l, step.r, x_order, y_order, x_dims,
+                     y_dims),
+                )
             )
             storage[step.out] = tuple(step.out_legs)
             continue
 
-        xsize = prod(sizes[ix] for ix in x_order)
-        ysize = prod(sizes[ix] for ix in y_order)
-        if ysize > xsize:
-            # canonical group orders follow the bigger input
-            b = [ix for ix in y_order if ix in shared and ix in out_set]
-            c = [
-                ix
-                for ix in y_order
-                if ix in shared and ix not in out_set
-            ]
+        # the tensor with the larger free group plays 'x' (keeps the big
+        # group in the minor dims, avoids its transposes)
+        x_id, y_id = step.l, step.r
+        msize = prod(sizes[ix] for ix in m)
+        nsize = prod(sizes[ix] for ix in ny)
+        if nsize > msize:
+            x_id, y_id = y_id, x_id
+            x_order, y_order = y_order, x_order
+            m, ny = ny, m
+            msize, nsize = nsize, msize
 
-        x_req = tuple(b) + tuple(m) + tuple(c)
-        y_req = tuple(b) + tuple(c) + tuple(ny)
+        # canonical shared-group orders follow the bigger input overall
+        big_order = (
+            x_order
+            if prod(sizes[ix] for ix in x_order)
+            >= prod(sizes[ix] for ix in y_order)
+            else y_order
+        )
+        b = [ix for ix in big_order if ix in shared and ix in out_set]
+        c = [
+            ix
+            for ix in big_order
+            if ix in shared and ix not in out_set
+        ]
+
+        B = prod(sizes[ix] for ix in b)
+        M = msize
+        K = prod(sizes[ix] for ix in c)
+        N = nsize
 
         p = _GroupedPair()
-        p.x_id, p.y_id, p.out_id = step.l, step.r, step.out
+        p.x_id, p.y_id, p.out_id = x_id, y_id, step.out
+        p.B, p.M, p.K, p.N = B, M, K, N
+
+        if B * M * K < 2**14 and B * K * N < 2**14:
+            # everything small: full-rank direct contraction is fine and
+            # padding waste is bounded by the tiny absolute sizes
+            x_dims = tuple(sizes[ix] for ix in x_order)
+            y_dims = tuple(sizes[ix] for ix in y_order)
+            plans.append(
+                (
+                    "fallback",
+                    (step, x_id, y_id, x_order, y_order, x_dims, y_dims),
+                )
+            )
+            storage[step.out] = tuple(step.out_legs)
+            continue
+
+        if B == 1:
+            if K < 8:
+                p.mode = "mac"
+                x_req = tuple(c) + tuple(m)       # flat (K * M)
+                y_req = tuple(c) + tuple(ny)      # (K, N), tiny
+            elif N < 8:
+                p.mode = "matvec"
+                x_req = tuple(c) + tuple(m)       # (K, M)
+                y_req = tuple(c) + tuple(ny)      # (K, N), tiny
+            else:
+                p.mode = "mm"
+                x_req = tuple(c) + tuple(m)       # (K, M)
+                y_req = tuple(ny) + tuple(c)      # (N, K), pads only y
+            p.out_order = tuple(b) + tuple(ny) + tuple(m)
+        else:
+            p.mode = "bmm"
+            x_req = tuple(b) + tuple(c) + tuple(m)   # (B, K, M)
+            y_req = tuple(b) + tuple(ny) + tuple(c)  # (B, N, K)
+            p.out_order = tuple(b) + tuple(ny) + tuple(m)
+
         p.x_plan = _block_plan(x_order, x_req, sizes)
         p.y_plan = _block_plan(y_order, y_req, sizes)
-        B = prod(sizes[ix] for ix in b)
-        M = prod(sizes[ix] for ix in m)
-        K = prod(sizes[ix] for ix in c)
-        N = prod(sizes[ix] for ix in ny)
-        p.x3 = (B, M, K)
-        p.y3 = (B, K, N)
-        p.out_order = tuple(b) + tuple(m) + tuple(ny)
-        p.fallback = None
         plans.append(("pair", p))
         storage[step.out] = p.out_order
 
@@ -210,9 +269,9 @@ def _exec_steps(
             continue
 
         if kind == "fallback":
-            step, x_order, y_order, x_dims, y_dims = info
-            x = temps[step.l].reshape(x_dims)
-            y = temps[step.r].reshape(y_dims)
+            step, x_id, y_id, x_order, y_order, x_dims, y_dims = info
+            x = temps[x_id].reshape(x_dims)
+            y = temps[y_id].reshape(y_dims)
             out = apply_pairwise(
                 x, y, x_order, y_order, step.out_legs,
                 precision=precision,
@@ -228,34 +287,77 @@ def _exec_steps(
                 exponent = e if exponent is None else exponent + e
             temps[step.out] = jnp.ravel(out)
             shapes[step.out] = out.shape
-            for vid in (step.l, step.r):
+            for vid in (x_id, y_id):
                 if last_use.get(vid) == si:
                     temps.pop(vid, None)
             continue
 
         p = info
-        x3 = _apply_block_plan(temps[p.x_id], p.x_plan).reshape(p.x3)
-        y3 = _apply_block_plan(temps[p.y_id], p.y_plan).reshape(p.y3)
-        x3 = jax.lax.optimization_barrier(x3)
-        y3 = jax.lax.optimization_barrier(y3)
-        out3 = jax.lax.dot_general(
-            x3,
-            y3,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            precision=precision,
-            preferred_element_type=preferred_element_type,
-        )
-        out3 = jax.lax.optimization_barrier(out3)
+        B, M, K, N = p.B, p.M, p.K, p.N
+        xf = _apply_block_plan(temps[p.x_id], p.x_plan)
+        yf = _apply_block_plan(temps[p.y_id], p.y_plan)
+
+        if p.mode == "mac":
+            # x flat (K*M); y (K, N) tiny: unrolled scalar-vector MACs,
+            # everything 1-D (no padded buffers)
+            y2 = yf.reshape(K, N)
+            cols = []
+            for n in range(N):
+                acc = None
+                for k in range(K):
+                    xk = jax.lax.dynamic_slice(xf, (k * M,), (M,))
+                    term = xk * y2[k, n]
+                    acc = term if acc is None else acc + term
+                cols.append(acc)
+            out = cols[0] if N == 1 else jnp.concatenate(cols)
+        elif p.mode == "matvec":
+            x2 = jax.lax.optimization_barrier(xf.reshape(K, M))
+            y2 = yf.reshape(K, N)
+            cols = []
+            for n in range(N):
+                col = jax.lax.dot_general(
+                    y2[:, n],
+                    x2,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=preferred_element_type,
+                )
+                cols.append(col)  # (M,)
+            out = cols[0] if N == 1 else jnp.concatenate(cols)
+            out = jax.lax.optimization_barrier(out)
+        elif p.mode == "mm":
+            x2 = jax.lax.optimization_barrier(xf.reshape(K, M))
+            y2 = jax.lax.optimization_barrier(yf.reshape(N, K))
+            out = jax.lax.dot_general(
+                y2,
+                x2,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=preferred_element_type,
+            )  # (N, M): both minor dims big -> pad-free
+            out = jax.lax.optimization_barrier(out)
+        else:  # bmm, B > 1
+            x3 = jax.lax.optimization_barrier(xf.reshape(B, K, M))
+            y3 = jax.lax.optimization_barrier(yf.reshape(B, N, K))
+            out = jax.lax.dot_general(
+                y3,
+                x3,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=precision,
+                preferred_element_type=preferred_element_type,
+            )  # (B, N, M)
+            out = jax.lax.optimization_barrier(out)
+
         if strip_exponent:
-            absmax = jnp.max(jnp.abs(out3))
+            absmax = jnp.max(jnp.abs(out))
             scale = jnp.where(
                 absmax == 0, jnp.ones_like(absmax), absmax
             )
-            out3 = out3 / scale
+            out = out / scale
             e = jnp.log10(scale)
             exponent = e if exponent is None else exponent + e
-        temps[p.out_id] = jnp.ravel(out3)
-        shapes[p.out_id] = (p.x3[0], p.x3[1], p.y3[2])
+        temps[p.out_id] = jnp.ravel(out)
+        shapes[p.out_id] = (B, N, M)
         for vid in (p.x_id, p.y_id):
             if last_use.get(vid) == si:
                 temps.pop(vid, None)
@@ -366,10 +468,10 @@ def make_grouped_staged_contractor(
         kind, info = plans[si]
         if kind == "pair":
             return (info.x_id, info.y_id), info.out_id
-        step = info
         if kind == "single":
-            return (step.inp,), step.out
-        return (step.l, step.r), step.out
+            return (info.inp,), info.out
+        step, x_id, y_id = info[0], info[1], info[2]
+        return (x_id, y_id), step.out
 
     defined_at = {i: -1 for i in range(ir.num_inputs)}
     for si in range(n):
@@ -398,13 +500,15 @@ def make_grouped_staged_contractor(
         for si in range(n):
             kind, info = plans[si]
             if kind == "pair":
-                shapes_static[info.out_id] = (
-                    info.x3[0], info.x3[1], info.y3[2]
+                shapes_static[info.out_id] = (info.B, info.N, info.M)
+            elif kind == "single":
+                shapes_static[info.out] = tuple(
+                    sizes[ix] for ix in storage[info.out]
                 )
-            else:
-                step = info
-                shapes_static[step.out] = tuple(
-                    sizes[ix] for ix in storage[step.out]
+            else:  # fallback
+                fstep = info[0]
+                shapes_static[fstep.out] = tuple(
+                    sizes[ix] for ix in storage[fstep.out]
                 )
         stages.append(
             (stage_fn(start, end, carry_in, carry_out, shapes_static),
