@@ -104,6 +104,7 @@ class _GroupedPair:
         "x_id", "y_id", "out_id",
         "x_plan", "y_plan",
         "mode",
+        "x_layout",  # "cm" -> (K, M); "mc" -> (M, K)
         "B", "M", "K", "N",
         "out_order",
     )
@@ -206,27 +207,58 @@ def plan_grouped(ir, size_dict, input_orders):
             storage[step.out] = tuple(step.out_legs)
             continue
 
+        def plan_badness(plan, total):
+            """Padding waste of the transpose output + block count."""
+            if plan is None:
+                return (0, 0)
+            block_dims, perm = plan
+            minor = block_dims[perm[-1]]
+            waste = max(1, 128 // max(minor, 1))
+            return (waste if total >= 2**16 else 1, len(perm))
+
+        def choose_x_layout():
+            """Pick (c+m) [2-D (K, M)] or (m+c) [2-D (M, K)] for x: the
+            big tensor's transposed buffer must end in a big block, and
+            a (., K) reshape needs K to be a 128-multiple."""
+            cand = []
+            plan_cm = _block_plan(
+                x_order, tuple(c) + tuple(m), sizes
+            )
+            cand.append(("cm", plan_cm, plan_badness(plan_cm, M * K)))
+            if K % 128 == 0:
+                plan_mc = _block_plan(
+                    x_order, tuple(m) + tuple(c), sizes
+                )
+                cand.append(
+                    ("mc", plan_mc, plan_badness(plan_mc, M * K))
+                )
+            cand.sort(key=lambda t: t[2])
+            return cand[0][0], cand[0][1]
+
         if B == 1:
             if K < 8:
                 p.mode = "mac"
+                p.x_layout = "cm"
                 x_req = tuple(c) + tuple(m)       # flat (K * M)
                 y_req = tuple(c) + tuple(ny)      # (K, N), tiny
+                p.x_plan = _block_plan(x_order, x_req, sizes)
             elif N < 8:
                 p.mode = "matvec"
-                x_req = tuple(c) + tuple(m)       # (K, M)
+                p.x_layout, p.x_plan = choose_x_layout()
                 y_req = tuple(c) + tuple(ny)      # (K, N), tiny
             else:
                 p.mode = "mm"
-                x_req = tuple(c) + tuple(m)       # (K, M)
+                p.x_layout, p.x_plan = choose_x_layout()
                 y_req = tuple(ny) + tuple(c)      # (N, K), pads only y
             p.out_order = tuple(b) + tuple(ny) + tuple(m)
         else:
             p.mode = "bmm"
+            p.x_layout = "cm"
             x_req = tuple(b) + tuple(c) + tuple(m)   # (B, K, M)
             y_req = tuple(b) + tuple(ny) + tuple(c)  # (B, N, K)
             p.out_order = tuple(b) + tuple(ny) + tuple(m)
+            p.x_plan = _block_plan(x_order, x_req, sizes)
 
-        p.x_plan = _block_plan(x_order, x_req, sizes)
         p.y_plan = _block_plan(y_order, y_req, sizes)
         plans.append(("pair", p))
         storage[step.out] = p.out_order
@@ -311,14 +343,19 @@ def _exec_steps(
                 cols.append(acc)
             out = cols[0] if N == 1 else jnp.concatenate(cols)
         elif p.mode == "matvec":
-            x2 = jax.lax.optimization_barrier(xf.reshape(K, M))
+            if p.x_layout == "cm":
+                x2 = jax.lax.optimization_barrier(xf.reshape(K, M))
+                xdim = 0
+            else:
+                x2 = jax.lax.optimization_barrier(xf.reshape(M, K))
+                xdim = 1
             y2 = yf.reshape(K, N)
             cols = []
             for n in range(N):
                 col = jax.lax.dot_general(
                     y2[:, n],
                     x2,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    dimension_numbers=(((0,), (xdim,)), ((), ())),
                     precision=precision,
                     preferred_element_type=preferred_element_type,
                 )
@@ -326,12 +363,17 @@ def _exec_steps(
             out = cols[0] if N == 1 else jnp.concatenate(cols)
             out = jax.lax.optimization_barrier(out)
         elif p.mode == "mm":
-            x2 = jax.lax.optimization_barrier(xf.reshape(K, M))
+            if p.x_layout == "cm":
+                x2 = jax.lax.optimization_barrier(xf.reshape(K, M))
+                xdim = 0
+            else:
+                x2 = jax.lax.optimization_barrier(xf.reshape(M, K))
+                xdim = 1
             y2 = jax.lax.optimization_barrier(yf.reshape(N, K))
             out = jax.lax.dot_general(
                 y2,
                 x2,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                dimension_numbers=(((1,), (xdim,)), ((), ())),
                 precision=precision,
                 preferred_element_type=preferred_element_type,
             )  # (N, M): both minor dims big -> pad-free
