@@ -208,24 +208,27 @@ def plan_grouped(ir, size_dict, input_orders):
             continue
 
         def plan_badness(plan, total):
-            """Padding waste of the transpose output + block count."""
+            """Padding waste of the block-reshape buffer (ends with the
+            partition's last dim) AND the transpose output (ends with
+            the last target block), for full-size buffers."""
             if plan is None:
-                return (0, 0)
+                return (1, 0)
             block_dims, perm = plan
-            minor = block_dims[perm[-1]]
-            waste = max(1, 128 // max(minor, 1))
+            minor_in = block_dims[-1]
+            minor_out = block_dims[perm[-1]]
+            waste = max(
+                1,
+                128 // max(min(minor_in, minor_out), 1),
+            )
             return (waste if total >= 2**16 else 1, len(perm))
 
-        def choose_x_layout():
-            """Pick (c+m) [2-D (K, M)] or (m+c) [2-D (M, K)] for x: the
-            big tensor's transposed buffer must end in a big block, and
-            a (., K) reshape needs K to be a 128-multiple."""
+        def choose_x_layout(allow_mc):
+            """Pick (c+m) or (m+c) storage for x by padding badness of
+            the required block transpose."""
             cand = []
-            plan_cm = _block_plan(
-                x_order, tuple(c) + tuple(m), sizes
-            )
+            plan_cm = _block_plan(x_order, tuple(c) + tuple(m), sizes)
             cand.append(("cm", plan_cm, plan_badness(plan_cm, M * K)))
-            if K % 128 == 0:
+            if allow_mc:
                 plan_mc = _block_plan(
                     x_order, tuple(m) + tuple(c), sizes
                 )
@@ -238,17 +241,21 @@ def plan_grouped(ir, size_dict, input_orders):
         if B == 1:
             if K < 8:
                 p.mode = "mac"
-                p.x_layout = "cm"
-                x_req = tuple(c) + tuple(m)       # flat (K * M)
+                # "mc" keeps contracted axes trailing (strided 1-D
+                # slices), avoiding a leading-small-block transpose
+                p.x_layout, p.x_plan = choose_x_layout(allow_mc=True)
                 y_req = tuple(c) + tuple(ny)      # (K, N), tiny
-                p.x_plan = _block_plan(x_order, x_req, sizes)
             elif N < 8:
                 p.mode = "matvec"
-                p.x_layout, p.x_plan = choose_x_layout()
+                p.x_layout, p.x_plan = choose_x_layout(
+                    allow_mc=(K % 128 == 0)
+                )
                 y_req = tuple(c) + tuple(ny)      # (K, N), tiny
             else:
                 p.mode = "mm"
-                p.x_layout, p.x_plan = choose_x_layout()
+                p.x_layout, p.x_plan = choose_x_layout(
+                    allow_mc=(K % 128 == 0)
+                )
                 y_req = tuple(ny) + tuple(c)      # (N, K), pads only y
             p.out_order = tuple(b) + tuple(ny) + tuple(m)
         else:
@@ -330,15 +337,27 @@ def _exec_steps(
         yf = _apply_block_plan(temps[p.y_id], p.y_plan)
 
         if p.mode == "mac":
-            # x flat (K*M); y (K, N) tiny: unrolled scalar-vector MACs,
-            # everything 1-D (no padded buffers)
+            # unrolled scalar-vector MACs, everything 1-D (no padded
+            # buffers). "cm": x flat is (K, M) -> contiguous slices;
+            # "mc": x flat is (M, K) -> strided slices
             y2 = yf.reshape(K, N)
+            xks = []
+            for k in range(K):
+                if p.x_layout == "cm":
+                    xks.append(
+                        jax.lax.dynamic_slice(xf, (k * M,), (M,))
+                    )
+                else:
+                    xks.append(
+                        jax.lax.slice(
+                            xf, (k,), (k + (M - 1) * K + 1,), (K,)
+                        )
+                    )
             cols = []
             for n in range(N):
                 acc = None
                 for k in range(K):
-                    xk = jax.lax.dynamic_slice(xf, (k * M,), (M,))
-                    term = xk * y2[k, n]
+                    term = xks[k] * y2[k, n]
                     acc = term if acc is None else acc + term
                 cols.append(acc)
             out = cols[0] if N == 1 else jnp.concatenate(cols)
