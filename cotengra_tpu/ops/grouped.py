@@ -83,7 +83,12 @@ def _apply_block_plan(flat, plan):
     block_dims, perm = plan
     t = flat.reshape(block_dims)
     t = jnp.transpose(t, perm)
-    return jax.lax.optimization_barrier(t).reshape(-1)
+    # barrier AFTER the compacting 1-D reshape: the blocked/transposed
+    # forms then live only inside one copy fusion and are never
+    # materialized in their (padded) tiled layouts - a barrier before the
+    # reshape forces an HBM temp with up to 64x padding when a small
+    # block lands in the minor dim
+    return jax.lax.optimization_barrier(t.reshape(-1))
 
 
 class _GroupedPair:
