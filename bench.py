@@ -49,7 +49,7 @@ def main():
     )
     from cotengra_tpu.tree import ContractionTree
 
-    m = int(os.environ.get("BENCH_DEPTH", "8"))
+    m = int(os.environ.get("BENCH_DEPTH", "10"))
     seed = 42
 
     # -- build + preprocess (host) ----------------------------------------
