@@ -59,7 +59,11 @@ def main():
     from cotengra_tpu.ops.preprocess import absorb_simple_tensors
 
     n_raw = len(inputs)
-    inputs, arrays = absorb_simple_tensors(inputs, arrays, output)
+    absorb_rank = int(os.environ.get("BENCH_ABSORB_RANK", "2"))
+    inputs, arrays = absorb_simple_tensors(
+        inputs, arrays, output, max_rank=absorb_rank,
+        max_absorb_size=2**12,
+    )
     size_dict = {
         ix: int(d)
         for term, arr in zip(inputs, arrays)
@@ -123,8 +127,9 @@ def main():
             make_grouped_staged_contractor,
         )
 
-        print("# staged grouped compile (12 steps/stage)", file=sys.stderr)
-        return make_grouped_staged_contractor(tree, stage_size=12)
+        ss = int(os.environ.get("BENCH_STAGE_SIZE", "64"))
+        print(f"# staged grouped compile ({ss} steps/stage)", file=sys.stderr)
+        return make_grouped_staged_contractor(tree, stage_size=ss)
 
     if tree.max_size() > 2**20:
         # the remote compile helper is slow per-op on large buffers in
