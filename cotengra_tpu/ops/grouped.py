@@ -77,6 +77,18 @@ def _block_plan(cur, tgt, sizes):
     return block_dims, perm
 
 
+# barriers only matter for big tensors: they stop the compile-time
+# pathologies of fusing big high-rank copies into matmuls, but for small
+# tensors fusion is beneficial (and harmless to compile)
+BARRIER_MIN_SIZE = 2**16
+
+
+def _maybe_barrier(x):
+    if x.size >= BARRIER_MIN_SIZE:
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def _apply_block_plan(flat, plan):
     if plan is None:
         return flat
@@ -88,7 +100,7 @@ def _apply_block_plan(flat, plan):
     # materialized in their (padded) tiled layouts - a barrier before the
     # reshape forces an HBM temp with up to 64x padding when a small
     # block lands in the minor dim
-    return jax.lax.optimization_barrier(t.reshape(-1))
+    return _maybe_barrier(t.reshape(-1))
 
 
 class _GroupedPair:
@@ -368,10 +380,10 @@ def _exec_steps(
             out = cols[0] if N == 1 else jnp.concatenate(cols)
         elif p.mode == "matvec":
             if p.x_layout == "cm":
-                x2 = jax.lax.optimization_barrier(xf.reshape(K, M))
+                x2 = _maybe_barrier(xf.reshape(K, M))
                 xdim = 0
             else:
-                x2 = jax.lax.optimization_barrier(xf.reshape(M, K))
+                x2 = _maybe_barrier(xf.reshape(M, K))
                 xdim = 1
             y2 = yf.reshape(K, N)
             cols = []
@@ -385,15 +397,15 @@ def _exec_steps(
                 )
                 cols.append(col)  # (M,)
             out = cols[0] if N == 1 else jnp.concatenate(cols)
-            out = jax.lax.optimization_barrier(out)
+            out = _maybe_barrier(out)
         elif p.mode == "mm":
             if p.x_layout == "cm":
-                x2 = jax.lax.optimization_barrier(xf.reshape(K, M))
+                x2 = _maybe_barrier(xf.reshape(K, M))
                 xdim = 0
             else:
-                x2 = jax.lax.optimization_barrier(xf.reshape(M, K))
+                x2 = _maybe_barrier(xf.reshape(M, K))
                 xdim = 1
-            y2 = jax.lax.optimization_barrier(yf.reshape(N, K))
+            y2 = _maybe_barrier(yf.reshape(N, K))
             out = jax.lax.dot_general(
                 y2,
                 x2,
@@ -401,10 +413,10 @@ def _exec_steps(
                 precision=precision,
                 preferred_element_type=preferred_element_type,
             )  # (N, M): both minor dims big -> pad-free
-            out = jax.lax.optimization_barrier(out)
+            out = _maybe_barrier(out)
         else:  # bmm, B > 1
-            x3 = jax.lax.optimization_barrier(xf.reshape(B, K, M))
-            y3 = jax.lax.optimization_barrier(yf.reshape(B, N, K))
+            x3 = _maybe_barrier(xf.reshape(B, K, M))
+            y3 = _maybe_barrier(yf.reshape(B, N, K))
             out = jax.lax.dot_general(
                 y3,
                 x3,
@@ -412,7 +424,7 @@ def _exec_steps(
                 precision=precision,
                 preferred_element_type=preferred_element_type,
             )  # (B, N, M)
-            out = jax.lax.optimization_barrier(out)
+            out = _maybe_barrier(out)
 
         if strip_exponent:
             absmax = jnp.max(jnp.abs(out))
