@@ -9,6 +9,11 @@ from .executor import (
     make_staged_contractor,
     slice_arrays,
 )
+from .grouped import (
+    build_grouped_core_fn,
+    make_grouped_staged_contractor,
+    plan_grouped,
+)
 from .lowering import ContractionIR, extract_contractions
 from .pairwise import apply_pairwise, apply_single
 

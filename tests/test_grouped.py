@@ -1,0 +1,99 @@
+"""Grouped-flat executor: block plans, lowering modes, and the public
+sliced-contract path on high-rank networks."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import cotengra_tpu as ctg
+from cotengra_tpu.ops.grouped import (
+    _block_plan,
+    make_grouped_staged_contractor,
+)
+
+
+def test_block_plan_identity():
+    sizes = {"a": 2, "b": 3, "c": 4}
+    assert _block_plan(("a", "b", "c"), ("a", "b", "c"), sizes) is None
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_block_plan_random_perms(seed):
+    import random
+
+    rng = random.Random(seed)
+    labels = [f"i{k}" for k in range(8)]
+    sizes = {ix: rng.choice([2, 3, 4]) for ix in labels}
+    cur = list(labels)
+    rng.shuffle(cur)
+    tgt = list(labels)
+    rng.shuffle(tgt)
+    plan = _block_plan(cur, tgt, sizes)
+
+    x = np.arange(int(np.prod([sizes[ix] for ix in cur])))
+    # ground truth: full-rank transpose
+    xf = x.reshape([sizes[ix] for ix in cur])
+    perm = [cur.index(ix) for ix in tgt]
+    expect = np.transpose(xf, perm).ravel()
+
+    if plan is None:
+        got = x
+    else:
+        block_dims, bperm = plan
+        got = np.transpose(x.reshape(block_dims), bperm).ravel()
+    assert (got == expect).all()
+
+
+def _circuit_tree(n_qubits=26, depth=14, seed=2):
+    from cotengra_tpu.models.circuits import rand_circuit_tn
+    from cotengra_tpu.ops.preprocess import absorb_simple_tensors
+
+    inputs, output, shapes, size_dict, arrays = rand_circuit_tn(
+        n_qubits=n_qubits, depth=depth, seed=seed
+    )
+    inputs, arrays = absorb_simple_tensors(inputs, arrays, output)
+    size_dict = {
+        ix: int(d)
+        for t, a in zip(inputs, arrays)
+        for ix, d in zip(t, a.shape)
+    }
+    ssa, _ = ctg.optimize_random_greedy_track_flops(
+        inputs, output, size_dict, ntrials=32, seed=0, use_ssa=True
+    )
+    tree = ctg.ContractionTree.from_path(
+        inputs, output, size_dict, ssa_path=ssa
+    )
+    return tree, [np.asarray(a) for a in arrays]
+
+
+def test_grouped_matches_direct_on_high_rank():
+    tree, arrays = _circuit_tree()
+    from cotengra_tpu.ops.executor import _ir_max_rank
+
+    assert _ir_max_rank(tree.extract_contractions()) > 12
+    ref = tree.contract(arrays, implementation="pallas")  # direct path
+    got = tree.contract(arrays)  # auto -> grouped
+    assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5
+    )
+
+
+def test_grouped_full_contract_sliced():
+    """Public sliced tree.contract (fori_loop inside jit) through the
+    grouped core."""
+    tree, arrays = _circuit_tree()
+    ref = tree.contract(arrays)
+    tree.slice_(target_slices=4)
+    got = tree.contract(arrays)  # full contractor, grouped core inside
+    assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+
+def test_grouped_staged_sliced_strip():
+    tree, arrays = _circuit_tree()
+    ref = tree.contract(arrays)
+    fn = make_grouped_staged_contractor(
+        tree, stage_size=10, strip_exponent=True
+    )
+    m, e = fn(*arrays)
+    got = complex(np.asarray(m)) * 10.0 ** float(np.asarray(e))
+    assert np.isclose(got, complex(np.asarray(ref)), rtol=1e-5)
