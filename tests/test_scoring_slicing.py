@@ -1,0 +1,131 @@
+"""Objective parsing, SliceFinder targets, and small utility edge cases."""
+
+import math
+
+import pytest
+
+import cotengra_tpu as ctg
+from cotengra_tpu.scoring import (
+    ComboObjective,
+    CompressedPeakObjective,
+    LimitObjective,
+    parse_minimize,
+)
+from cotengra_tpu.slicing import SliceFinder
+from cotengra_tpu.utils.misc import DiskDict, MaxCounter
+
+
+@pytest.mark.parametrize(
+    "spec,cls,attr,val",
+    [
+        ("flops", None, None, None),
+        ("combo", ComboObjective, "factor", 64),
+        ("combo-128", ComboObjective, "factor", 128),
+        ("combo:32", ComboObjective, "factor", 32),
+        ("limit-16", LimitObjective, "factor", 16),
+        ("peak-compressed-16", CompressedPeakObjective, "chi", 16),
+        ("peak-compressed", CompressedPeakObjective, "chi", "auto"),
+    ],
+)
+def test_parse_minimize_specs(spec, cls, attr, val):
+    obj = parse_minimize(spec)
+    if cls is not None:
+        assert isinstance(obj, cls)
+        assert getattr(obj, attr) == val
+    # identical spec strings give the same cached object
+    assert parse_minimize(spec) is obj
+
+
+def test_parse_minimize_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_minimize("not-a-real-objective")
+
+
+def test_objective_hooks_consistent():
+    inputs, output, shapes, size_dict = ctg.rand_equation(10, 3, seed=0)
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    for spec in ("flops", "size", "write", "combo-64", "limit-64"):
+        obj = parse_minimize(spec)
+        trial = {"tree": tree.copy()}
+        score = obj(trial)
+        assert math.isfinite(score)
+        node = next(iter(tree.children))
+        assert obj.cost_local_tree_node(tree, node) >= 0
+        assert isinstance(
+            obj.get_dynamic_programming_minimize(), str
+        )
+
+
+def test_slicefinder_target_overhead():
+    inputs, output, shapes, size_dict = ctg.rand_equation(
+        16, 3, d_min=2, d_max=2, seed=3
+    )
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    sf = SliceFinder(
+        tree, target_slices=2**10, target_overhead=2.0, seed=0
+    )
+    costs, inds = sf.search()
+    assert costs.overhead <= 4.0  # loosely bounded by the target logic
+
+
+def test_slicefinder_allow_outer_only():
+    inputs, output, shapes, size_dict = ctg.rand_equation(
+        10, 3, n_out=3, seed=4
+    )
+    # build without canonicalization so labels match `output`
+    tree = ctg.ContractionTree.from_path(
+        inputs,
+        output,
+        size_dict,
+        path=ctg.optimize_greedy(inputs, output, size_dict, seed=0),
+    )
+    sf = SliceFinder(tree, target_slices=4, allow_outer="only", seed=0)
+    _, inds = sf.search()
+    assert inds  # found something to slice
+    assert all(ix in set(output) for ix in inds)
+
+
+def test_slicefinder_requires_target():
+    inputs, output, shapes, size_dict = ctg.rand_equation(8, 3, seed=5)
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    with pytest.raises(ValueError):
+        SliceFinder(tree)
+
+
+def test_maxcounter():
+    mc = MaxCounter([3, 1, 3])
+    assert mc.max() == 3
+    mc.discard(3)
+    assert mc.max() == 3
+    mc.discard(3)
+    assert mc.max() == 1
+    mc.add(10)
+    assert mc.max() == 10
+    mc2 = mc.copy()
+    mc2.discard(10)
+    assert mc.max() == 10 and mc2.max() == 1
+
+
+def test_diskdict_roundtrip(tmp_path):
+    d = DiskDict(str(tmp_path / "cache"))
+    d["abcdef123456"] = {"x": 1}
+    # a fresh instance over the same dir sees it
+    d2 = DiskDict(str(tmp_path / "cache"))
+    assert d2["abcdef123456"] == {"x": 1}
+    assert "abcdef123456" in d2
+    assert len(d2) == 1
+    del d2["abcdef123456"]
+    assert "abcdef123456" not in DiskDict(str(tmp_path / "cache"))
+
+
+def test_tree_multi_objective_string_roundtrip():
+    from cotengra_tpu.scoring import expected_coupons
+
+    assert expected_coupons(4, 10**9) == pytest.approx(4.0)
+    assert expected_coupons(10**9, 1) == pytest.approx(1.0, rel=1e-6)
