@@ -15,6 +15,7 @@ __version__ = "0.1.0"
 from . import utils
 from .hypergraph import HyperGraph, get_hypergraph
 from .interface import (
+    Via,
     array_contract,
     array_contract_expression,
     array_contract_path,
@@ -185,5 +186,6 @@ __all__ = [
     "ssa_to_linear",
     "tree_equation",
     "utils",
+    "Via",
     "WriteObjective",
 ]

@@ -203,6 +203,53 @@ def array_contract_tree(
     return find_tree(c_inputs, c_output, c_size_dict, optimize)
 
 
+class Via:
+    """Wrap an expression with input/output device or dtype transfer
+    (reference analog: ``interface.py:476`` - there it moves arrays
+    between array libraries; here it places them on jax devices and/or
+    casts dtypes).
+
+    Parameters
+    ----------
+    fn : callable
+        The expression to wrap.
+    constructor : callable, optional
+        Applied to each input array (default: ``jax.device_put`` to
+        ``device``).
+    extractor : callable, optional
+        Applied to the output (e.g. ``np.asarray`` to fetch to host).
+    device : jax device, optional
+    dtype : dtype, optional
+    """
+
+    def __init__(
+        self, fn, constructor=None, extractor=None, device=None,
+        dtype=None,
+    ):
+        self.fn = fn
+        self.device = device
+        self.dtype = dtype
+        self.constructor = constructor
+        self.extractor = extractor
+
+    def _put(self, x):
+        if self.constructor is not None:
+            return self.constructor(x)
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x, dtype=self.dtype)
+        if self.device is not None:
+            x = jax.device_put(x, self.device)
+        return x
+
+    def __call__(self, *arrays, **kwargs):
+        out = self.fn(*map(self._put, arrays), **kwargs)
+        if self.extractor is not None:
+            out = self.extractor(out)
+        return out
+
+
 class Expression:
     """A compiled, reusable contraction expression.
 
