@@ -183,24 +183,33 @@ class ContractionTreeCompressed(ContractionTree):
         current = score_of(order)
         n = len(order)
 
+        def earliest_valid_pos(j):
+            """Earliest position step j could move to: just after the
+            last step producing one of its inputs."""
+            pj, lj, rj = order[j]
+            pos = 0
+            for k in range(j):
+                pk = order[k][0]
+                if pk == lj or pk == rj:
+                    pos = k + 1
+            return pos
+
         for _ in range(max_iterations):
             improved = False
-            # propose a window shuffle
-            for _try in range(max(1, max_window_tries // max_iterations)):
-                w0 = rng.randrange(max(1, n - 2))
-                w1 = min(n, w0 + window_size)
-                candidate = list(order)
-                # adjacent transposition inside the window, validity-checked
-                i = rng.randrange(w0, max(w0 + 1, w1 - 1))
-                j = min(i + 1, n - 1)
-                if i == j:
+            # proposals: move a step earlier in the order ("eager"
+            # scheduling perturbations) - adjacent swaps are almost never
+            # valid on the chain-like orders compressed sweeps produce
+            for _try in range(
+                max(1, max_window_tries // max_iterations)
+            ):
+                if n < 3:
+                    break
+                j = rng.randrange(1, n)
+                lo = max(earliest_valid_pos(j), j - window_size)
+                if lo >= j:
                     continue
-                pi, li, ri = candidate[i]
-                pj, lj, rj = candidate[j]
-                # valid iff contraction j doesn't consume i's output
-                if pi == lj or pi == rj:
-                    continue
-                candidate[i], candidate[j] = candidate[j], candidate[i]
+                i = rng.randrange(lo, j)
+                candidate = order[:i] + [order[j]] + order[i:j] + order[j + 1:]
                 new = score_of(candidate)
                 dE = new - current
                 if dE <= 0 or (
