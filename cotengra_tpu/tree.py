@@ -885,6 +885,12 @@ class ContractionTree:
         reconf_opts = {} if reconf_opts is None else dict(reconf_opts)
         reconf_opts.setdefault("minimize", minimize)
 
+        if progbar:
+            import tqdm
+
+            pbar = tqdm.tqdm(desc="slice+reconf")
+        else:
+            pbar = None
         while tree.max_size() > target_size:
             tree.slice_(
                 temperature=temperature,
@@ -894,6 +900,14 @@ class ContractionTree:
                 max_repeats=max_repeats,
             )
             tree.subtree_reconfigure_(**reconf_opts)
+            if pbar is not None:
+                pbar.update()
+                pbar.set_description(
+                    f"nslices={tree.multiplicity} "
+                    f"log2[S]={tree.max_size(log=2):.1f}"
+                )
+        if pbar is not None:
+            pbar.close()
         return tree
 
     slice_and_reconfigure_ = functools.partialmethod(
@@ -960,7 +974,19 @@ class ContractionTree:
 
         tree.contract_stats()
 
+        if progbar:
+            import tqdm
+
+            pbar = tqdm.tqdm(total=maxiter, desc="reconfigure")
+        else:
+            pbar = None
+
         for _ in range(maxiter):
+            if pbar is not None:
+                pbar.update()
+                pbar.set_description(
+                    f"log10[F]={tree.total_flops(log=10):.2f}"
+                )
             # candidate sub-roots: internal nodes with enough leaves below
             candidates = [n for n in tree.children if n.bit_count() > 2]
             if not candidates:
@@ -1025,6 +1051,8 @@ class ContractionTree:
             if not improved:
                 break
 
+        if pbar is not None:
+            pbar.close()
         tree.contraction_cores.clear()
         return tree
 
