@@ -97,6 +97,30 @@ def test_native_path_contract_correct(seed):
     assert_allclose(np.asarray(got), expected, rtol=1e-8)
 
 
+@pytest.mark.parametrize("compress_late", [False, True])
+def test_native_compressed_replay_parity(compress_late):
+    inputs, output, shapes, size_dict = ctg.lattice_equation(
+        [6, 6], d_min=4
+    )
+    tree = ctg.ContractionTreeCompressed.from_path(
+        inputs,
+        output,
+        size_dict,
+        ssa_path=ctg.optimize_greedy(
+            inputs, output, size_dict, use_ssa=True, seed=0
+        ),
+    )
+    s_py = tree.compressed_contract_stats(
+        chi=16, accel=False, compress_late=compress_late
+    )
+    s_cc = tree.compressed_contract_stats(
+        chi=16, accel="auto", compress_late=compress_late
+    )
+    assert (s_py.flops, s_py.write, s_py.max_size, s_py.peak_size) == (
+        s_cc.flops, s_cc.write, s_cc.max_size, s_cc.peak_size,
+    )
+
+
 def test_native_determinism():
     inputs, output, shapes, size_dict = ctg.rand_equation(40, 3, seed=7)
     r1 = native.optimize_random_greedy_track_flops(
