@@ -128,8 +128,14 @@ def main():
         )
 
         ss = int(os.environ.get("BENCH_STAGE_SIZE", "64"))
-        print(f"# staged grouped compile ({ss} steps/stage)", file=sys.stderr)
-        return make_grouped_staged_contractor(tree, stage_size=ss)
+        fg = bool(int(os.environ.get("BENCH_FUSE_GATES", "0")))
+        print(
+            f"# staged grouped compile ({ss} steps/stage, fuse={fg})",
+            file=sys.stderr,
+        )
+        return make_grouped_staged_contractor(
+            tree, stage_size=ss, fuse_gates=fg
+        )
 
     if tree.max_size() > 2**20:
         # the remote compile helper is slow per-op on large buffers in

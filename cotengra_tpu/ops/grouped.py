@@ -124,13 +124,77 @@ class _GroupedPair:
         "x_layout",  # "cm" -> (K, M); "mc" -> (M, K)
         "B", "M", "K", "N",
         "out_order",
+        # recorded for gate-chain fusion
+        "c_legs", "ny_legs", "m_legs", "b_legs", "y_size",
     )
 
 
-def plan_grouped(ir, size_dict, input_orders):
+class _FusedChain:
+    """A run of consecutive small-gate absorptions into one evolving
+    tensor, executed in ONE pass: the gates' kron product (tiny) is
+    built on device and applied with a single matmul, instead of one
+    bandwidth-bound sweep of the big tensor per gate."""
+
+    __slots__ = (
+        "x_id", "x_src_order",
+        "gates",      # list of (gate_id, gate_order, c_legs, n_legs)
+        "m_rest",
+        "out_id", "out_order",
+        "x_plan", "x_layout",
+        "M", "K", "N",
+    )
+
+    def refresh(self, sizes, plan_badness_fn):
+        """Recompute layout/plan after gates changed."""
+        c_all = tuple(
+            ix for (_, _, cl, _) in self.gates for ix in cl
+        )
+        n_all = tuple(
+            ix for (_, _, _, nl) in self.gates for ix in nl
+        )
+        self.K = prod(sizes[ix] for ix in c_all)
+        self.N = prod(sizes[ix] for ix in n_all)
+        self.M = prod(sizes[ix] for ix in self.m_rest)
+        self.out_order = n_all + tuple(self.m_rest)
+        # layout choice mirrors the pair logic
+        cand = []
+        plan_cm = _block_plan(
+            self.x_src_order, c_all + tuple(self.m_rest), sizes
+        )
+        cand.append(
+            ("cm", plan_cm, plan_badness_fn(plan_cm, self.M * self.K))
+        )
+        if self.K % 128 == 0 or self.K < 8:
+            plan_mc = _block_plan(
+                self.x_src_order, tuple(self.m_rest) + c_all, sizes
+            )
+            cand.append(
+                ("mc", plan_mc,
+                 plan_badness_fn(plan_mc, self.M * self.K))
+            )
+        cand.sort(key=lambda t: t[2])
+        self.x_layout, self.x_plan = cand[0][0], cand[0][1]
+
+
+def _plan_badness(plan, total):
+    """Padding waste of the block-reshape buffer (last partition dim)
+    AND the transpose output (last target block), for big buffers."""
+    if plan is None:
+        return (1, 0)
+    block_dims, perm = plan
+    minor_in = block_dims[-1]
+    minor_out = block_dims[perm[-1]]
+    waste = max(1, 128 // max(min(minor_in, minor_out), 1))
+    return (waste if total >= 2**16 else 1, len(perm))
+
+
+def plan_grouped(ir, size_dict, input_orders, fuse_gates=False):
     """Host-side symbolic pass: stored orders + per-step plans.
 
-    Returns ``(plans, storage, out_plan, out_shape)``.
+    ``fuse_gates=True`` merges consecutive small-gate absorptions into
+    the same evolving tensor into single fused-chain steps.
+
+    Returns ``(plans, storage, out_plan, out_shape, plan_last_use)``.
     """
     steps = ir.steps
     final_id = ir.final_id
@@ -141,7 +205,7 @@ def plan_grouped(ir, size_dict, input_orders):
         storage[i] = tuple(order)
 
     plans = []
-    for step in steps:
+    for si, step in enumerate(steps):
         if isinstance(step, SingleStep):
             plans.append(("single", step))
             storage[step.out] = tuple(step.out_legs)
@@ -225,19 +289,7 @@ def plan_grouped(ir, size_dict, input_orders):
             continue
 
         def plan_badness(plan, total):
-            """Padding waste of the block-reshape buffer (ends with the
-            partition's last dim) AND the transpose output (ends with
-            the last target block), for full-size buffers."""
-            if plan is None:
-                return (1, 0)
-            block_dims, perm = plan
-            minor_in = block_dims[-1]
-            minor_out = block_dims[perm[-1]]
-            waste = max(
-                1,
-                128 // max(min(minor_in, minor_out), 1),
-            )
-            return (waste if total >= 2**16 else 1, len(perm))
+            return _plan_badness(plan, total)
 
         def choose_x_layout(allow_mc):
             """Pick (c+m) or (m+c) storage for x by padding badness of
@@ -284,6 +336,17 @@ def plan_grouped(ir, size_dict, input_orders):
             p.x_plan = _block_plan(x_order, x_req, sizes)
 
         p.y_plan = _block_plan(y_order, y_req, sizes)
+        p.c_legs = tuple(c)
+        p.ny_legs = tuple(ny)
+        p.m_legs = tuple(m)
+        p.b_legs = tuple(b)
+        p.y_size = prod(sizes[ix] for ix in y_order)
+
+        if fuse_gates and _try_extend_chain(
+            plans, p, step, si, ir.last_use, storage, sizes
+        ):
+            continue
+
         plans.append(("pair", p))
         storage[step.out] = p.out_order
 
@@ -295,7 +358,91 @@ def plan_grouped(ir, size_dict, input_orders):
         sizes,
     ) if tuple(final_order) != tuple(ir.output_legs) else None
     out_shape = tuple(sizes[ix] for ix in ir.output_legs)
-    return plans, storage, out_plan, out_shape
+
+    # plan-level liveness (fusion changes plan/step correspondence)
+    plan_last_use = {}
+    for pi, (kind, info) in enumerate(plans):
+        if kind == "pair":
+            ids = (info.x_id, info.y_id)
+        elif kind == "single":
+            ids = (info.inp,)
+        elif kind == "fusedchain":
+            ids = (info.x_id, *(g[0] for g in info.gates))
+        else:
+            ids = (info[1], info[2])
+        for vid in ids:
+            plan_last_use[vid] = pi
+    plan_last_use.pop(final_id, None)
+
+    return plans, storage, out_plan, out_shape, plan_last_use
+
+
+MAX_FUSED_GATES = 4
+MAX_FUSED_K = 64
+MAX_GATE_SIZE = 256
+
+
+def _try_extend_chain(plans, p, step, si, step_last_use, storage, sizes):
+    """Try merging the freshly-planned pair ``p`` into a fused gate
+    chain ending at ``plans[-1]``. Returns True if merged."""
+    if p.B != 1 or p.b_legs or p.y_size > MAX_GATE_SIZE:
+        return False
+    if not plans:
+        return False
+    kind_prev, prev = plans[-1]
+
+    if kind_prev == "pair":
+        # previous pair can seed a chain if it too absorbed a small gate
+        if (
+            prev.B != 1
+            or prev.b_legs
+            or prev.y_size > MAX_GATE_SIZE
+            or prev.out_id != p.x_id
+            or step_last_use.get(prev.out_id) != si
+            or prev.K * p.K > MAX_FUSED_K
+        ):
+            return False
+        # current gate must act on ORIGINAL axes of the chain base
+        if any(ix in set(prev.ny_legs) for ix in p.c_legs):
+            return False
+        chain = _FusedChain()
+        chain.x_id = prev.x_id
+        chain.x_src_order = storage[prev.x_id]
+        chain.gates = [
+            (prev.y_id, storage[prev.y_id], prev.c_legs, prev.ny_legs),
+            (p.y_id, storage[p.y_id], p.c_legs, p.ny_legs),
+        ]
+        chain.m_rest = [
+            ix for ix in prev.m_legs if ix not in set(p.c_legs)
+        ]
+    elif kind_prev == "fusedchain":
+        prev_n = {ix for (_, _, _, nl) in prev.gates for ix in nl}
+        if (
+            prev.out_id != p.x_id
+            or step_last_use.get(prev.out_id) != si
+            or len(prev.gates) >= MAX_FUSED_GATES
+            or prev.K * p.K > MAX_FUSED_K
+            or any(ix in prev_n for ix in p.c_legs)
+        ):
+            return False
+        chain = prev
+        chain.gates = chain.gates + [
+            (p.y_id, storage[p.y_id], p.c_legs, p.ny_legs)
+        ]
+        chain.m_rest = [
+            ix for ix in chain.m_rest if ix not in set(p.c_legs)
+        ]
+    else:
+        return False
+
+    chain.out_id = step.out
+    chain.refresh(sizes, _plan_badness)
+    if kind_prev == "pair":
+        plans[-1] = ("fusedchain", chain)
+    else:
+        plans[-1] = ("fusedchain", chain)
+    storage[step.out] = chain.out_order
+    return True
 
 
 def _exec_steps(
@@ -344,6 +491,91 @@ def _exec_steps(
             temps[step.out] = jnp.ravel(out)
             shapes[step.out] = out.shape
             for vid in (x_id, y_id):
+                if last_use.get(vid) == si:
+                    temps.pop(vid, None)
+            continue
+
+        if kind == "fusedchain":
+            ch = info
+            K, M, N = ch.K, ch.M, ch.N
+            xf = _apply_block_plan(temps[ch.x_id], ch.x_plan)
+            # build the combined gate (kron product) - tiny
+            G = None
+            for gid, gorder, c_legs, n_legs in ch.gates:
+                gdims = tuple(shapes[gid]) if gid in shapes else None
+                g = temps[gid].reshape(gdims)
+                g2 = apply_single(
+                    g, gorder, tuple(c_legs) + tuple(n_legs)
+                )
+                Ki = prod(g2.shape[: len(c_legs)])
+                Ni = prod(g2.shape[len(c_legs):])
+                g2 = g2.reshape(Ki, Ni)
+                G = g2 if G is None else jnp.kron(G, g2)
+            # apply with one pass (same lowerings as plain pairs)
+            if K < 8:
+                cols = []
+                xks = []
+                for k in range(K):
+                    if ch.x_layout == "cm":
+                        xks.append(
+                            jax.lax.dynamic_slice(xf, (k * M,), (M,))
+                        )
+                    else:
+                        xks.append(
+                            jax.lax.slice(
+                                xf, (k,), (k + (M - 1) * K + 1,), (K,)
+                            )
+                        )
+                for n in range(N):
+                    acc = None
+                    for k in range(K):
+                        term = xks[k] * G[k, n]
+                        acc = term if acc is None else acc + term
+                    cols.append(acc)
+                out = cols[0] if N == 1 else jnp.concatenate(cols)
+            else:
+                if ch.x_layout == "cm":
+                    x2 = _maybe_barrier(xf.reshape(K, M))
+                    xdim = 0
+                else:
+                    x2 = _maybe_barrier(xf.reshape(M, K))
+                    xdim = 1
+                if N < 8:
+                    cols = []
+                    for n in range(N):
+                        col = jax.lax.dot_general(
+                            G[:, n],
+                            x2,
+                            dimension_numbers=(
+                                ((0,), (xdim,)), ((), ())
+                            ),
+                            precision=precision,
+                            preferred_element_type=preferred_element_type,
+                        )
+                        cols.append(col)
+                    out = (
+                        cols[0] if N == 1 else jnp.concatenate(cols)
+                    )
+                else:
+                    out = jax.lax.dot_general(
+                        G.T,
+                        x2,
+                        dimension_numbers=(((1,), (xdim,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=preferred_element_type,
+                    )
+                out = _maybe_barrier(out)
+            if strip_exponent:
+                absmax = jnp.max(jnp.abs(out))
+                scale = jnp.where(
+                    absmax == 0, jnp.ones_like(absmax), absmax
+                )
+                out = out / scale
+                e = jnp.log10(scale)
+                exponent = e if exponent is None else exponent + e
+            temps[ch.out_id] = jnp.ravel(out)
+            shapes[ch.out_id] = (1, N, M)
+            for vid in (ch.x_id, *(g[0] for g in ch.gates)):
                 if last_use.get(vid) == si:
                     temps.pop(vid, None)
             continue
@@ -456,12 +688,12 @@ def build_grouped_core_fn(
     preferred_element_type=None,
     size_dict=None,
     input_orders=None,
+    fuse_gates=False,
 ):
     """Single-function grouped-flat executor over the whole IR."""
-    plans, storage, out_plan, out_shape = plan_grouped(
-        ir, size_dict, input_orders
+    plans, storage, out_plan, out_shape, last_use = plan_grouped(
+        ir, size_dict, input_orders, fuse_gates=fuse_gates
     )
-    last_use = ir.last_use
     final_id = ir.final_id
     sizes = dict(size_dict)
     in_shapes = {
@@ -494,6 +726,7 @@ def make_grouped_staged_contractor(
     precision=None,
     preferred_element_type=None,
     autojit=True,
+    fuse_gates=False,
 ):
     """Grouped-flat executor compiled as many small jitted stages.
 
@@ -507,10 +740,9 @@ def make_grouped_staged_contractor(
 
     ir = extract_contractions(tree)
     input_orders = [sliced_input_legs(tree, i) for i in range(tree.N)]
-    plans, storage, out_plan, out_shape = plan_grouped(
-        ir, tree.size_dict, input_orders
+    plans, storage, out_plan, out_shape, last_use = plan_grouped(
+        ir, tree.size_dict, input_orders, fuse_gates=fuse_gates
     )
-    last_use = ir.last_use
     final_id = ir.final_id
     sizes = dict(tree.size_dict)
     in_shapes = {
@@ -548,6 +780,8 @@ def make_grouped_staged_contractor(
             return (info.x_id, info.y_id), info.out_id
         if kind == "single":
             return (info.inp,), info.out
+        if kind == "fusedchain":
+            return (info.x_id, *(g[0] for g in info.gates)), info.out_id
         step, x_id, y_id = info[0], info[1], info[2]
         return (x_id, y_id), step.out
 
@@ -579,6 +813,8 @@ def make_grouped_staged_contractor(
             kind, info = plans[si]
             if kind == "pair":
                 shapes_static[info.out_id] = (info.B, info.N, info.M)
+            elif kind == "fusedchain":
+                shapes_static[info.out_id] = (1, info.N, info.M)
             elif kind == "single":
                 shapes_static[info.out] = tuple(
                     sizes[ix] for ix in storage[info.out]
