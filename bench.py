@@ -114,7 +114,7 @@ def main():
     core = make_contractor(tree, autojit=True)
 
     nsl = tree.multiplicity
-    nbench = min(nsl, 8)
+    nbench = min(nsl, 16)
 
     def run_slice(i):
         return core(*slice_arrays(tree, arrays, i))
@@ -164,11 +164,11 @@ def main():
         jax.block_until_ready(acc)
         return time.time() - t1
 
-    # calibrate repeats so each measurement is >= 0.25s of device work
+    # calibrate repeats so each measurement is >= 0.5s of device work
     once = timed_pass()
-    reps = max(1, int(0.25 / max(once, 1e-4)))
+    reps = max(1, int(0.5 / max(once, 1e-4)))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t1 = time.time()
         for _ in range(reps):
             acc = None
