@@ -129,12 +129,14 @@ def main():
 
         ss = int(os.environ.get("BENCH_STAGE_SIZE", "64"))
         fg = bool(int(os.environ.get("BENCH_FUSE_GATES", "0")))
+        sp = bool(int(os.environ.get("BENCH_SPLIT", "1")))
         print(
-            f"# staged grouped compile ({ss} steps/stage, fuse={fg})",
+            f"# staged grouped compile ({ss} steps/stage, fuse={fg}, "
+            f"split={sp})",
             file=sys.stderr,
         )
         return make_grouped_staged_contractor(
-            tree, stage_size=ss, fuse_gates=fg
+            tree, stage_size=ss, fuse_gates=fg, split_complex=sp
         )
 
     if tree.max_size() > 2**20:

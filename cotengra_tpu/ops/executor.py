@@ -171,9 +171,16 @@ def _build_best_core(
     precision=None,
     preferred_element_type=None,
     implementation=None,
+    split_complex=None,
+    plane_dtype=None,
 ):
     """Pick the core builder: grouped-flat for high-rank IRs (bond-2
-    circuit networks), direct per-step lowering otherwise."""
+    circuit networks), direct per-step lowering otherwise.
+
+    ``split_complex`` (grouped path only; default auto = on for complex
+    inputs) executes on stacked real/imag planes - TPU has no native
+    complex arithmetic, see ``ops/grouped.py``.
+    """
     if (
         implementation in (None, "auto", "grouped")
         and _ir_max_rank(ir) > MAX_RANK_DIRECT
@@ -191,6 +198,8 @@ def _build_best_core(
             preferred_element_type=preferred_element_type,
             size_dict=tree.size_dict,
             input_orders=input_orders,
+            split_complex=split_complex,
+            plane_dtype=plane_dtype,
         )
     return build_core_fn(
         ir,
@@ -300,6 +309,8 @@ def make_contractor(
     precision=None,
     preferred_element_type=None,
     implementation=None,
+    split_complex=None,
+    plane_dtype=None,
 ):
     """Compile the *core* (single slice) contraction of ``tree``."""
     ir = extract_contractions(tree, order=order)
@@ -310,6 +321,8 @@ def make_contractor(
         precision=precision,
         preferred_element_type=preferred_element_type,
         implementation=implementation,
+        split_complex=split_complex,
+        plane_dtype=plane_dtype,
     )
     if autojit:
         core = jax.jit(core)
@@ -325,6 +338,8 @@ def make_full_contractor(
     preferred_element_type=None,
     slice_batch=None,
     implementation=None,
+    split_complex=None,
+    plane_dtype=None,
 ):
     """Compile the FULL contraction of ``tree``: slice enumeration, inner
     sum and chunk reassembly all inside one jitted function.
@@ -341,6 +356,8 @@ def make_full_contractor(
         precision=precision,
         preferred_element_type=preferred_element_type,
         implementation=implementation,
+        split_complex=split_complex,
+        plane_dtype=plane_dtype,
     )
 
     if not tree.sliced_inds:
