@@ -43,7 +43,6 @@ def main():
     import jax.numpy as jnp
 
     from cotengra_tpu.models.circuits import rand_circuit_tn
-    from cotengra_tpu.ops.executor import make_contractor, slice_arrays
     from cotengra_tpu.pathfinders.basic import (
         optimize_random_greedy_track_flops,
     )
@@ -110,75 +109,83 @@ def main():
     )
 
     # -- execute a batch of slices on device ------------------------------
-    arrays = [jnp.asarray(a) for a in arrays]
-    core = make_contractor(tree, autojit=True)
+    # HONEST TIMING RULES (learned the hard way on the axon remote
+    # backend): executions can fail *silently* - block_until_ready
+    # returns promptly on a poisoned buffer without raising, and the
+    # error only surfaces (or never does) on a device->host value pull.
+    # Additionally complex64 buffers cannot be transferred or (currently)
+    # freshly compiled at all. Therefore:
+    #   * the device program is complex-free end to end (split_complex +
+    #     plane_io: inputs go up as (2,*shape) f32 plane stacks, the
+    #     amplitude comes back as f32 planes);
+    #   * every timed pass ends in an np.asarray() VALUE PULL, and the
+    #     pulled amplitude is checked finite+nonzero and stable across
+    #     passes.
+    import numpy as np
+
+    from cotengra_tpu.ops.grouped import (
+        make_grouped_staged_contractor,
+        to_plane_array,
+    )
 
     nsl = tree.multiplicity
-    nbench = min(nsl, 16)
+    sb = max(1, min(int(os.environ.get("BENCH_SLICE_BATCH", "16")), nsl))
+    nbench = min(nsl, max(sb, 16))
+    nbench = (nbench // sb) * sb
 
-    def run_slice(i):
-        return core(*slice_arrays(tree, arrays, i))
+    ss = int(os.environ.get("BENCH_STAGE_SIZE", "64"))
+    fg = bool(int(os.environ.get("BENCH_FUSE_GATES", "0")))
+    mode = os.environ.get("BENCH_SLICE_MODE", "auto")
+    print(
+        f"# staged grouped compile ({ss} steps/stage, fuse={fg}, "
+        f"split+plane_io, slice_batch={sb}, mode={mode})",
+        file=sys.stderr,
+    )
+    core = make_grouped_staged_contractor(
+        tree,
+        stage_size=ss,
+        fuse_gates=fg,
+        split_complex=True,
+        plane_io=True,
+        slice_batch=sb if nsl > 1 else None,
+        slice_batch_mode=mode,
+    )
+    planes = [jnp.asarray(to_plane_array(a)) for a in arrays]
+    if nsl > 1:
+        id_batches = [
+            jnp.arange(k * sb, (k + 1) * sb, dtype=jnp.int32)
+            for k in range(max(1, nbench // sb))
+        ]
 
-    # the axon remote-compile helper SIGKILLs / times out on large single
-    # programs (observed: OK at 2^18 intermediates, dead at >=2^24) - go
-    # staged proactively for big cores, with a reactive fallback too
-    def build_staged():
-        from cotengra_tpu.ops.grouped import (
-            make_grouped_staged_contractor,
-        )
+        def run_pass():
+            # returns the host-side (pulled) partial amplitude planes
+            acc = None
+            for ids in id_batches:
+                r = jnp.sum(core(planes, ids), axis=0)
+                acc = r if acc is None else acc + r
+            return np.asarray(acc)
 
-        ss = int(os.environ.get("BENCH_STAGE_SIZE", "64"))
-        fg = bool(int(os.environ.get("BENCH_FUSE_GATES", "0")))
-        sp = bool(int(os.environ.get("BENCH_SPLIT", "1")))
-        print(
-            f"# staged grouped compile ({ss} steps/stage, fuse={fg}, "
-            f"split={sp})",
-            file=sys.stderr,
-        )
-        return make_grouped_staged_contractor(
-            tree, stage_size=ss, fuse_gates=fg, split_complex=sp
-        )
+    else:
+        nbench = 1
 
-    if tree.max_size() > 2**20:
-        # the remote compile helper is slow per-op on large buffers in
-        # one big program; many small programs compile reliably
-        core = build_staged()
+        def run_pass():
+            return np.asarray(core(*planes))
 
-    try:
-        out = run_slice(0)
-        jax.block_until_ready(out)
-    except Exception as exc:
-        print(
-            f"# compile failed ({type(exc).__name__}); retrying staged",
-            file=sys.stderr,
-        )
-        core = build_staged()
-        out = run_slice(0)
-        jax.block_until_ready(out)
+    amp0 = run_pass()  # compile + warmup + correctness anchor
+    if not np.all(np.isfinite(amp0)) or not np.any(amp0):
+        print("# FATAL: warmup amplitude not finite/nonzero", file=sys.stderr)
+        sys.exit(1)
     t_compile = time.time() - t0 - t_plan
 
-    def timed_pass():
-        t1 = time.time()
-        acc = None
-        for i in range(nbench):
-            r = run_slice(i)
-            acc = r if acc is None else acc + r
-        jax.block_until_ready(acc)
-        return time.time() - t1
-
-    # calibrate repeats so each measurement is >= 0.5s of device work
-    once = timed_pass()
-    reps = max(1, int(0.5 / max(once, 1e-4)))
     best = float("inf")
-    for _ in range(5):
+    for _ in range(int(os.environ.get("BENCH_PASSES", "3"))):
         t1 = time.time()
-        for _ in range(reps):
-            acc = None
-            for i in range(nbench):
-                r = run_slice(i)
-                acc = r if acc is None else acc + r
-        jax.block_until_ready(acc)
-        best = min(best, (time.time() - t1) / reps)
+        amp = run_pass()
+        dt = time.time() - t1
+        if not np.allclose(amp, amp0, rtol=1e-4, atol=1e-12):
+            print("# FATAL: unstable amplitude between passes", file=sys.stderr)
+            sys.exit(1)
+        best = min(best, dt)
 
     flops_per_slice = tree.total_flops(dtype="complex") / nsl
     tflops = flops_per_slice * nbench / best / 1e12
@@ -195,7 +202,8 @@ def main():
         f"# log10[FLOPs]={tree.total_flops(log=10):.2f} "
         f"nslices={nsl} bench_slices={nbench} time={best:.3f}s "
         f"compile={t_compile:.1f}s total={time.time() - t_start:.1f}s "
-        f"SoL({gen})={sol} TFLOP/s",
+        f"SoL({gen})={sol} TFLOP/s "
+        f"amp={complex(amp0[0], amp0[1]):.3e}",
         file=sys.stderr,
     )
     print(json.dumps(result))

@@ -94,13 +94,15 @@ def _apply_block_plan(flat, plan):
         return flat
     block_dims, perm = plan
     t = flat.reshape(block_dims)
-    t = jnp.transpose(t, perm)
-    # barrier AFTER the compacting 1-D reshape: the blocked/transposed
-    # forms then live only inside one copy fusion and are never
-    # materialized in their (padded) tiled layouts - a barrier before the
-    # reshape forces an HBM temp with up to 64x padding when a small
-    # block lands in the minor dim
-    return _maybe_barrier(t.reshape(-1))
+    # transpose + compacting 1-D reshape expressed as ONE lax.reshape
+    # (dimensions=perm): the blocked/transposed forms then live only
+    # inside one copy fusion and are never materialized in their (padded)
+    # tiled layouts. Two separate transpose/reshape ops (or a barrier
+    # before the compact reshape) can materialize an HBM temp with up to
+    # 64x padding when a small block lands in the minor dims - fatal
+    # under vmap slice batching.
+    out = jax.lax.reshape(t, (flat.size,), dimensions=perm)
+    return _maybe_barrier(out)
 
 
 class _GroupedPair:
@@ -737,8 +739,11 @@ def _apply_block_plan_split(flat, plan):
         return flat
     block_dims, perm = plan
     t = flat.reshape((2,) + block_dims)
-    t = jnp.transpose(t, (0,) + tuple(p + 1 for p in perm))
-    return _maybe_barrier(t.reshape(-1))
+    # single fused transpose+compact-reshape; see _apply_block_plan
+    out = jax.lax.reshape(
+        t, (flat.size,), dimensions=(0,) + tuple(p + 1 for p in perm)
+    )
+    return _maybe_barrier(out)
 
 
 def _split_apply_small_y(
@@ -1060,6 +1065,46 @@ def build_grouped_core_fn(
     return core
 
 
+def _select_input(a, axes, meta, slice_ids, axis_offset=0):
+    """Select the sliced view(s) of raw input ``a`` for a vector of slice
+    ids. Dynamically sliced inputs come back with a leading batch axis;
+    projected-only inputs come back unbatched (slice-invariant).
+    ``axis_offset`` shifts the recorded axes (plane-stacked inputs carry
+    a leading re/im axis).
+    """
+
+    def pick(sid):
+        b = a
+        for ax, ix in axes:
+            stride, size, project = meta[ix]
+            if project is not None:
+                b = jax.lax.index_in_dim(
+                    b, project, axis=ax + axis_offset, keepdims=False
+                )
+            else:
+                idx = (sid // stride) % size
+                b = jax.lax.dynamic_index_in_dim(
+                    b, idx, axis=ax + axis_offset, keepdims=False
+                )
+        return b
+
+    if any(meta[ix][2] is None for _, ix in axes):
+        return jax.vmap(pick)(slice_ids)
+    return pick(jnp.zeros((), jnp.int32))
+
+
+def to_plane_array(a):
+    """Host-side: complex array -> real ``(2, *shape)`` re/im plane stack
+    (the ``plane_io`` input format). Real arrays get a zero imag plane.
+    """
+    import numpy as np
+
+    a = np.asarray(a)
+    if np.iscomplexobj(a):
+        return np.ascontiguousarray(np.stack([a.real, a.imag]))
+    return np.stack([a, np.zeros_like(a)])
+
+
 def make_grouped_staged_contractor(
     tree,
     stage_size=12,
@@ -1070,6 +1115,9 @@ def make_grouped_staged_contractor(
     fuse_gates=False,
     split_complex=False,
     plane_dtype=None,
+    slice_batch=None,
+    slice_batch_mode="auto",
+    plane_io=False,
 ):
     """Grouped-flat executor compiled as many small jitted stages.
 
@@ -1083,6 +1131,31 @@ def make_grouped_staged_contractor(
     runs on stacked real/imag planes; input conversion happens inside the
     first stage, so raw (complex) arrays go straight in with no eager
     per-array dispatches.
+
+    ``slice_batch=B`` changes the returned callable's signature to
+    ``fn(arrays, slice_ids)`` where ``arrays`` are the RAW (unsliced)
+    inputs and ``slice_ids`` is a 1-D int array of B slice numbers.
+    Slice selection happens inside the first jitted stage and every
+    stage is ``vmap``-ed over the slice axis, so B slices cost the same
+    number of dispatches as one. Subtrees that no sliced index reaches
+    are computed once (unbatched) and broadcast. Returns the B per-slice
+    results stacked on a leading axis (and a ``(B,)`` exponent vector if
+    ``strip_exponent``); the caller sums / reassembles. Reference
+    intent: ``core.py:3943-4030`` (one call contracting all slices).
+
+    ``slice_batch_mode``: ``"vmap"`` runs all B slices concurrently
+    (B-times the per-slice temp memory, including any padded
+    realignment copies - best for small slices); ``"scan"`` loops over
+    the batch device-side inside each stage (per-slice memory, still
+    one dispatch per stage per batch - best for big slices); ``"auto"``
+    picks by per-slice size.
+
+    ``plane_io=True`` (requires ``split_complex``) keeps complex dtypes
+    off the device entirely: each complex input is passed as a real
+    ``(2, *shape)`` re/im plane stack (see :func:`to_plane_array`) and
+    the result comes back as ``(2, *out_shape)`` planes. Some TPU
+    runtimes cannot transfer or compile complex buffers at all; plane
+    I/O also halves transfer dtype quirks on the hot path.
     """
     from .lowering import extract_contractions, sliced_input_legs
 
@@ -1105,11 +1178,14 @@ def make_grouped_staged_contractor(
     # symbolic liveness: which ids are live entering each stage
     def stage_fn(start, end, carry_ids, out_ids, shapes_static, first):
         def fn(carry, exponent=None):
+            # per-slice body; under slice_batch this is the vmap cell
             if split_complex:
                 if first:
                     pdt = _resolve_plane_dtype(plane_dtype, carry)
                     temps = {
-                        i: _to_planes(a, pdt)
+                        i: jnp.ravel(a).astype(pdt)
+                        if plane_io
+                        else _to_planes(a, pdt)
                         for i, a in zip(carry_ids, carry)
                     }
                 else:
@@ -1148,7 +1224,86 @@ def make_grouped_staged_contractor(
                 return outs, exponent
             return outs
 
-        return jax.jit(fn) if autojit else fn
+        if not slice_batch:
+            return jax.jit(fn) if autojit else fn
+
+        if scan_slices:
+            # sequential device-side loop over the slice axis: per-slice
+            # temp memory is identical to the unbatched path (vmap would
+            # multiply every padded realignment copy by the batch size),
+            # but a whole batch of slices still costs one dispatch per
+            # stage. Everything is batched (slice-invariant subtrees are
+            # recomputed per slice - they are tiny gate subtrees).
+            if strip_exponent and not first:
+
+                def outer(carry, exponent):
+                    return jax.lax.map(
+                        lambda ce: fn(ce[0], ce[1]), (carry, exponent)
+                    )
+
+            elif not first:
+
+                def outer(carry):
+                    return jax.lax.map(fn, carry)
+
+            else:
+
+                def outer(carry, slice_ids):
+                    sel = []
+                    for i, a in zip(carry_ids, carry):
+                        if i in batched:
+                            sel.append(
+                                _select_input(
+                                    a, per_input[i], meta,
+                                    slice_ids, ax_off,
+                                )
+                            )
+                            continue
+                        b = (
+                            _select_input(
+                                a, per_input[i], meta, None, ax_off
+                            )
+                            if per_input[i]
+                            else a
+                        )
+                        sel.append(
+                            jnp.broadcast_to(
+                                b, slice_ids.shape + b.shape
+                            )
+                        )
+                    return jax.lax.map(fn, tuple(sel))
+
+            return jax.jit(outer) if autojit else outer
+
+        # vmap over the slice axis; ids untouched by any dynamically
+        # sliced index stay unbatched (computed once, broadcast by XLA
+        # only where a batched operand meets them)
+        in_ax = tuple(0 if i in batched else None for i in carry_ids)
+        out_ax = tuple(0 if i in batched else None for i in out_ids)
+        o_ax = (out_ax, 0) if strip_exponent else out_ax
+
+        if strip_exponent and not first:
+            vfn = jax.vmap(fn, in_axes=(in_ax, 0), out_axes=o_ax)
+            return jax.jit(vfn) if autojit else vfn
+
+        vfn = jax.vmap(
+            lambda c: fn(c), in_axes=(in_ax,), out_axes=o_ax
+        )
+        if not first:
+            return jax.jit(vfn) if autojit else vfn
+
+        # first stage additionally performs the slice selection from the
+        # RAW input arrays, inside the same jitted program
+        def outer(carry, slice_ids):
+            sel = tuple(
+                _select_input(a, per_input[i], meta, slice_ids, ax_off)
+                if per_input[i]
+                else a
+                for i, a in zip(carry_ids, carry)
+            )
+            return vfn(sel)
+
+        return jax.jit(outer) if autojit else outer
 
     # determine produced/used ids per stage to compute carries
     def step_ids(si):
@@ -1177,6 +1332,38 @@ def make_grouped_staged_contractor(
                 ):
                     out.append(vid)
         return sorted(out)
+
+    # which value ids vary across slices: any ancestor input touched by a
+    # dynamically (non-projected) sliced index
+    if plane_io and not split_complex:
+        raise ValueError("plane_io requires split_complex=True")
+    ax_off = 1 if plane_io else 0
+
+    batched = set()
+    per_input = ()
+    meta = {}
+    scan_slices = False
+    if slice_batch:
+        if slice_batch_mode == "auto":
+            # vmap multiplies every temp (incl. padded realignment
+            # copies) by the batch size; beyond ~2^24 batched elements
+            # per temp that exhausts HBM, so loop device-side instead
+            scan_slices = tree.max_size() * slice_batch > 2**24
+        else:
+            scan_slices = slice_batch_mode == "scan"
+        from .executor import _slice_meta, _sliced_axes_per_input
+
+        meta = _slice_meta(tree)
+        per_input = _sliced_axes_per_input(tree)
+        batched = {
+            i
+            for i in range(ir.num_inputs)
+            if any(meta[ix][2] is None for _, ix in per_input[i])
+        }
+        for si in range(n):
+            srcs, out = step_ids(si)
+            if any(s in batched for s in srcs):
+                batched.add(out)
 
     stages = []
     carries = [list(range(ir.num_inputs))]
@@ -1208,6 +1395,47 @@ def make_grouped_staged_contractor(
         )
         carries.append(carry_out)
 
+    def _post(flat):
+        if split_complex:
+            flat = _apply_block_plan_split(flat, out_plan)
+            if plane_io:
+                return flat.reshape((2,) + tuple(out_shape))
+            return _planes_to_complex(flat, out_shape)
+        return _apply_block_plan(flat, out_plan).reshape(out_shape)
+
+    if slice_batch:
+
+        def fn(arrays, slice_ids):
+            slice_ids = jnp.asarray(slice_ids, jnp.int32)
+            carry = tuple(arrays)
+            exponent = None
+            for k, (sf, carry_out) in enumerate(stages):
+                if k == 0:
+                    res = sf(carry, slice_ids)
+                else:
+                    res = sf(carry, exponent) if strip_exponent else sf(
+                        carry
+                    )
+                if strip_exponent:
+                    carry, exponent = res
+                else:
+                    carry = res
+            (flat,) = carry
+            if scan_slices or final_id in batched:
+                result = jax.vmap(_post)(flat)
+            else:
+                r = _post(flat)
+                result = jnp.broadcast_to(
+                    r, slice_ids.shape + r.shape
+                )
+            if strip_exponent:
+                if exponent is None:
+                    exponent = jnp.zeros(slice_ids.shape, jnp.float32)
+                return result, exponent
+            return result
+
+        return fn
+
     def fn(*arrays):
         carry = tuple(arrays)
         exponent = None
@@ -1219,11 +1447,7 @@ def make_grouped_staged_contractor(
             else:
                 carry = sf(carry)
         (flat,) = carry
-        if split_complex:
-            flat = _apply_block_plan_split(flat, out_plan)
-            result = _planes_to_complex(flat, out_shape)
-        else:
-            result = _apply_block_plan(flat, out_plan).reshape(out_shape)
+        result = _post(flat)
         if strip_exponent:
             if exponent is None:
                 exponent = _zero_exponent(result)

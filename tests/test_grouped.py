@@ -97,3 +97,82 @@ def test_grouped_staged_sliced_strip():
     m, e = fn(*arrays)
     got = complex(np.asarray(m)) * 10.0 ** float(np.asarray(e))
     assert np.isclose(got, complex(np.asarray(ref)), rtol=1e-5)
+
+@pytest.mark.parametrize("mode", ["scan", "vmap"])
+@pytest.mark.parametrize("strip", [False, True])
+def test_grouped_staged_slice_batched(mode, strip):
+    """slice_batch: all slices in one batched call == per-slice calls."""
+    import jax.numpy as jnp
+
+    from cotengra_tpu.ops.executor import slice_arrays
+
+    tree, arrays = _circuit_tree()
+    tree.slice_(target_slices=8)
+    nsl = tree.multiplicity
+    assert nsl >= 8
+    core = make_grouped_staged_contractor(
+        tree, stage_size=5, strip_exponent=strip
+    )
+    bcore = make_grouped_staged_contractor(
+        tree, stage_size=5, strip_exponent=strip,
+        slice_batch=nsl, slice_batch_mode=mode,
+    )
+    jarrays = [jnp.asarray(a) for a in arrays]
+    ids = jnp.arange(nsl, dtype=jnp.int32)
+    res = bcore(jarrays, ids)
+    if strip:
+        res, exps = res
+    for i in range(nsl):
+        r = core(*slice_arrays(tree, jarrays, i))
+        if strip:
+            m, e = r
+            ref = np.asarray(m) * 10.0 ** float(np.asarray(e))
+            got = np.asarray(res[i]) * 10.0 ** float(np.asarray(exps[i]))
+        else:
+            ref = np.asarray(r)
+            got = np.asarray(res[i])
+        assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("batched", [False, True])
+def test_grouped_staged_plane_io(batched):
+    """plane_io: complex-free I/O matches the complex path."""
+    import jax.numpy as jnp
+
+    from cotengra_tpu.ops.executor import slice_arrays
+    from cotengra_tpu.ops.grouped import to_plane_array
+
+    tree, arrays = _circuit_tree()
+    tree.slice_(target_slices=4)
+    nsl = tree.multiplicity
+    core = make_grouped_staged_contractor(
+        tree, stage_size=6, split_complex=True
+    )
+    jarrays = [jnp.asarray(a) for a in arrays]
+    planes = [jnp.asarray(to_plane_array(a)) for a in arrays]
+    if batched:
+        bcore = make_grouped_staged_contractor(
+            tree, stage_size=6, split_complex=True, plane_io=True,
+            slice_batch=nsl,
+        )
+        res = bcore(planes, jnp.arange(nsl, dtype=jnp.int32))
+        for i in range(nsl):
+            ref = np.asarray(core(*slice_arrays(tree, jarrays, i)))
+            got = np.asarray(res[i][0]) + 1j * np.asarray(res[i][1])
+            assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+    else:
+        # unbatched plane_io: slice the plane arrays host-side (axes +1)
+        pcore = make_grouped_staged_contractor(
+            tree, stage_size=6, split_complex=True, plane_io=True
+        )
+        key = tree.slice_key(1)
+        sl = []
+        for p, term in zip(planes, tree.inputs):
+            for ax in reversed(range(len(term))):
+                if term[ax] in tree.sliced_inds:
+                    p = jnp.take(p, key[term[ax]], axis=ax + 1)
+            sl.append(p)
+        ref = np.asarray(core(*slice_arrays(tree, jarrays, 1)))
+        out = pcore(*sl)
+        got = np.asarray(out[0]) + 1j * np.asarray(out[1])
+        assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
