@@ -82,6 +82,22 @@ def _block_plan(cur, tgt, sizes):
 # tensors fusion is beneficial (and harmless to compile)
 BARRIER_MIN_SIZE = 2**16
 
+# XLA:TPU sometimes "scoped"-promotes a mid-sized pallas-kernel output
+# inside a scan body into VMEM; the default 16MB scoped limit then fails
+# the compile. Raise it for the stage programs (forwarded per-compile
+# even through the remote compile helper).
+_STAGE_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "36864"}
+
+
+def _stage_jit(fn):
+    if jax.default_backend() in ("cpu", "gpu"):
+        # the scoped-vmem option is TPU-only (CPU rejects it at compile)
+        return jax.jit(fn)
+    try:
+        return jax.jit(fn, compiler_options=_STAGE_COMPILER_OPTIONS)
+    except TypeError:  # older jax without compiler_options
+        return jax.jit(fn)
+
 
 def _maybe_barrier(x):
     if x.size >= BARRIER_MIN_SIZE:
@@ -190,14 +206,31 @@ def _plan_badness(plan, total):
     return (waste if total >= 2**16 else 1, len(perm))
 
 
-def plan_grouped(ir, size_dict, input_orders, fuse_gates=False):
+class _InplaceRec:
+    """A planned in-place fused gate chain (pallas kernel step)."""
+
+    __slots__ = ("x_id", "out_id", "spec", "ys", "out_order",
+                 "out_shape")
+
+
+def plan_grouped(
+    ir, size_dict, input_orders, fuse_gates=False, inplace_gates=False
+):
     """Host-side symbolic pass: stored orders + per-step plans.
 
     ``fuse_gates=True`` merges consecutive small-gate absorptions into
-    the same evolving tensor into single fused-chain steps.
+    the same evolving tensor into single fused-chain (kron + one matmul)
+    steps.
+
+    ``inplace_gates=True`` instead lowers runs of small-gate absorptions
+    to layout-preserving pallas kernels (see ``pallas_gates.py``) -
+    no realignment transposes, one HBM round trip per chain. Only valid
+    for the split-complex execution path.
 
     Returns ``(plans, storage, out_plan, out_shape, plan_last_use)``.
     """
+    from .pallas_gates import MAX_CHAIN_GATES, build_chain_spec
+
     steps = ir.steps
     final_id = ir.final_id
     sizes = dict(size_dict)
@@ -207,8 +240,98 @@ def plan_grouped(ir, size_dict, input_orders, fuse_gates=False):
         storage[i] = tuple(order)
 
     plans = []
+
+    # open in-place chain state:
+    # dict(x_id, order0, gates[(c_set, ny)], y_ids, y_orders, out_id,
+    #      spec, out_order, c_orders)
+    chain = None
+
+    def close_chain():
+        nonlocal chain
+        if chain is None:
+            return
+        recs = []
+        for y_id, y_order, (c_order, ny_order) in zip(
+            chain["y_ids"], chain["y_orders"], chain["c_orders"]
+        ):
+            y_req = tuple(c_order) + tuple(ny_order)
+            recs.append(
+                (
+                    y_id,
+                    _block_plan(y_order, y_req, sizes),
+                    max(1, prod(sizes[ix] for ix in c_order)),
+                    max(1, prod(sizes[ix] for ix in ny_order)),
+                )
+            )
+        rec = _InplaceRec()
+        rec.x_id = chain["x_id"]
+        rec.out_id = chain["out_id"]
+        rec.spec = chain["spec"]
+        rec.ys = tuple(recs)
+        rec.out_order = chain["out_order"]
+        rec.out_shape = tuple(sizes[ix] for ix in chain["out_order"])
+        plans.append(("inplace", rec))
+        storage[rec.out_id] = rec.out_order
+        chain = None
+
+    def try_inplace(p, step, si):
+        """Extend / start an in-place chain with pair ``p``. Returns
+        True if the step was absorbed."""
+        nonlocal chain
+        if (
+            p.B != 1
+            or p.b_legs
+            or p.y_size > INPLACE_MAX_GATE_SIZE
+            or p.M * p.K < 2**16
+            or not p.c_legs
+        ):
+            return False
+        g = (tuple(p.c_legs), tuple(p.ny_legs))
+        y_order = storage[p.y_id]
+        if (
+            chain is not None
+            and chain["out_id"] == p.x_id
+            and ir.last_use.get(p.x_id) == si
+            and len(chain["gates"]) < MAX_CHAIN_GATES
+        ):
+            gates2 = chain["gates"] + [g]
+            spec, out_order, c_orders = build_chain_spec(
+                chain["order0"], sizes, gates2
+            )
+            if spec is not None:
+                chain["gates"] = gates2
+                chain["y_ids"].append(p.y_id)
+                chain["y_orders"].append(y_order)
+                chain["out_id"] = step.out
+                chain["spec"] = spec
+                chain["out_order"] = out_order
+                chain["c_orders"] = c_orders
+                storage[step.out] = out_order
+                return True
+        close_chain()
+        order0 = storage[p.x_id]
+        spec, out_order, c_orders = build_chain_spec(
+            order0, sizes, [g]
+        )
+        if spec is None:
+            return False
+        chain = {
+            "x_id": p.x_id,
+            "order0": order0,
+            "gates": [g],
+            "y_ids": [p.y_id],
+            "y_orders": [y_order],
+            "out_id": step.out,
+            "spec": spec,
+            "out_order": out_order,
+            "c_orders": c_orders,
+        }
+        storage[step.out] = out_order
+        return True
+
     for si, step in enumerate(steps):
         if isinstance(step, SingleStep):
+            close_chain()
             plans.append(("single", step))
             storage[step.out] = tuple(step.out_legs)
             continue
@@ -230,6 +353,7 @@ def plan_grouped(ir, size_dict, input_orders, fuse_gates=False):
         if any(ix not in out_set for ix in m + ny) or set(
             step.out_legs
         ) != set(b + m + ny):
+            close_chain()
             x_dims = tuple(sizes[ix] for ix in x_order)
             y_dims = tuple(sizes[ix] for ix in y_order)
             plans.append(
@@ -279,6 +403,7 @@ def plan_grouped(ir, size_dict, input_orders, fuse_gates=False):
         if B * M * K < 2**14 and B * K * N < 2**14:
             # everything small: full-rank direct contraction is fine and
             # padding waste is bounded by the tiny absolute sizes
+            close_chain()
             x_dims = tuple(sizes[ix] for ix in x_order)
             y_dims = tuple(sizes[ix] for ix in y_order)
             plans.append(
@@ -344,6 +469,11 @@ def plan_grouped(ir, size_dict, input_orders, fuse_gates=False):
         p.b_legs = tuple(b)
         p.y_size = prod(sizes[ix] for ix in y_order)
 
+        if inplace_gates:
+            if try_inplace(p, step, si):
+                continue
+            close_chain()
+
         if fuse_gates and _try_extend_chain(
             plans, p, step, si, ir.last_use, storage, sizes
         ):
@@ -351,6 +481,8 @@ def plan_grouped(ir, size_dict, input_orders, fuse_gates=False):
 
         plans.append(("pair", p))
         storage[step.out] = p.out_order
+
+    close_chain()
 
     # final rearrangement to the true output order
     final_order = storage.get(final_id, ())
@@ -370,6 +502,8 @@ def plan_grouped(ir, size_dict, input_orders, fuse_gates=False):
             ids = (info.inp,)
         elif kind == "fusedchain":
             ids = (info.x_id, *(g[0] for g in info.gates))
+        elif kind == "inplace":
+            ids = (info.x_id, *(y[0] for y in info.ys))
         else:
             ids = (info[1], info[2])
         for vid in ids:
@@ -382,6 +516,9 @@ def plan_grouped(ir, size_dict, input_orders, fuse_gates=False):
 MAX_FUSED_GATES = 4
 MAX_FUSED_K = 64
 MAX_GATE_SIZE = 256
+# the in-place pallas path handles larger "gates" (e.g. K=8, N=32
+# fused-qubit blocks); its own MAX_GATE_COMBOS bounds kernel unrolling
+INPLACE_MAX_GATE_SIZE = 2048
 
 
 def _try_extend_chain(plans, p, step, si, step_last_use, storage, sizes):
@@ -916,6 +1053,24 @@ def _exec_steps_split(
             store(step.out, flat, out.shape, si, (x_id, y_id))
             continue
 
+        if kind == "inplace":
+            rec = info
+            from .pallas_gates import run_chain
+
+            ys = []
+            for y_id, y_plan, K, N in rec.ys:
+                yf = _apply_block_plan_split(temps[y_id], y_plan)
+                ys.append(yf.reshape(2, K, N))
+            out = run_chain(rec.spec, temps[rec.x_id], ys)
+            # no exponent strip here: it would cost an extra full HBM
+            # pass and gate chains are near-unitary (magnitudes stable);
+            # stripping still happens at the surrounding matmul steps
+            store(
+                rec.out_id, out, rec.out_shape, si,
+                (rec.x_id, *(y[0] for y in rec.ys)),
+            )
+            continue
+
         if kind == "fusedchain":
             ch = info
             K, M, N = ch.K, ch.M, ch.N
@@ -1017,6 +1172,7 @@ def build_grouped_core_fn(
     fuse_gates=False,
     split_complex=None,
     plane_dtype=None,
+    inplace_gates=False,
 ):
     """Single-function grouped-flat executor over the whole IR.
 
@@ -1025,7 +1181,8 @@ def build_grouped_core_fn(
     split-complex section above.
     """
     plans, storage, out_plan, out_shape, last_use = plan_grouped(
-        ir, size_dict, input_orders, fuse_gates=fuse_gates
+        ir, size_dict, input_orders, fuse_gates=fuse_gates,
+        inplace_gates=inplace_gates,
     )
     final_id = ir.final_id
     sizes = dict(size_dict)
@@ -1036,6 +1193,12 @@ def build_grouped_core_fn(
 
     def core(*arrays):
         shapes = dict(in_shapes)
+        if not _resolve_split(split_complex, arrays) and any(
+            k == "inplace" for k, _ in plans
+        ):
+            raise ValueError(
+                "inplace_gates plans require split-complex execution"
+            )
         if _resolve_split(split_complex, arrays):
             pdt = _resolve_plane_dtype(plane_dtype, arrays)
             temps = {
@@ -1118,6 +1281,7 @@ def make_grouped_staged_contractor(
     slice_batch=None,
     slice_batch_mode="auto",
     plane_io=False,
+    inplace_gates="auto",
 ):
     """Grouped-flat executor compiled as many small jitted stages.
 
@@ -1159,10 +1323,17 @@ def make_grouped_staged_contractor(
     """
     from .lowering import extract_contractions, sliced_input_legs
 
+    if inplace_gates == "auto":
+        # the in-place pallas gate chains run on split planes only
+        inplace_gates = bool(split_complex)
+    if inplace_gates and not split_complex:
+        raise ValueError("inplace_gates requires split_complex=True")
+
     ir = extract_contractions(tree)
     input_orders = [sliced_input_legs(tree, i) for i in range(tree.N)]
     plans, storage, out_plan, out_shape, last_use = plan_grouped(
-        ir, tree.size_dict, input_orders, fuse_gates=fuse_gates
+        ir, tree.size_dict, input_orders, fuse_gates=fuse_gates,
+        inplace_gates=inplace_gates,
     )
     final_id = ir.final_id
     sizes = dict(tree.size_dict)
@@ -1225,7 +1396,7 @@ def make_grouped_staged_contractor(
             return outs
 
         if not slice_batch:
-            return jax.jit(fn) if autojit else fn
+            return _stage_jit(fn) if autojit else fn
 
         if scan_slices:
             # sequential device-side loop over the slice axis: per-slice
@@ -1273,7 +1444,7 @@ def make_grouped_staged_contractor(
                         )
                     return jax.lax.map(fn, tuple(sel))
 
-            return jax.jit(outer) if autojit else outer
+            return _stage_jit(outer) if autojit else outer
 
         # vmap over the slice axis; ids untouched by any dynamically
         # sliced index stay unbatched (computed once, broadcast by XLA
@@ -1284,13 +1455,13 @@ def make_grouped_staged_contractor(
 
         if strip_exponent and not first:
             vfn = jax.vmap(fn, in_axes=(in_ax, 0), out_axes=o_ax)
-            return jax.jit(vfn) if autojit else vfn
+            return _stage_jit(vfn) if autojit else vfn
 
         vfn = jax.vmap(
             lambda c: fn(c), in_axes=(in_ax,), out_axes=o_ax
         )
         if not first:
-            return jax.jit(vfn) if autojit else vfn
+            return _stage_jit(vfn) if autojit else vfn
 
         # first stage additionally performs the slice selection from the
         # RAW input arrays, inside the same jitted program
@@ -1303,7 +1474,7 @@ def make_grouped_staged_contractor(
             )
             return vfn(sel)
 
-        return jax.jit(outer) if autojit else outer
+        return _stage_jit(outer) if autojit else outer
 
     # determine produced/used ids per stage to compute carries
     def step_ids(si):
@@ -1314,6 +1485,8 @@ def make_grouped_staged_contractor(
             return (info.inp,), info.out
         if kind == "fusedchain":
             return (info.x_id, *(g[0] for g in info.gates)), info.out_id
+        if kind == "inplace":
+            return (info.x_id, *(y[0] for y in info.ys)), info.out_id
         step, x_id, y_id = info[0], info[1], info[2]
         return (x_id, y_id), step.out
 
@@ -1379,6 +1552,8 @@ def make_grouped_staged_contractor(
                 shapes_static[info.out_id] = (info.B, info.N, info.M)
             elif kind == "fusedchain":
                 shapes_static[info.out_id] = (1, info.N, info.M)
+            elif kind == "inplace":
+                shapes_static[info.out_id] = info.out_shape
             elif kind == "single":
                 shapes_static[info.out] = tuple(
                     sizes[ix] for ix in storage[info.out]

@@ -134,6 +134,55 @@ def test_grouped_staged_slice_batched(mode, strip):
         assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
 
 
+def test_grouped_staged_inplace_gates():
+    """inplace_gates: pallas in-place fused gate chains (interpret mode
+    on CPU) match the plain grouped path, with chains actually formed."""
+    from cotengra_tpu.ops.grouped import plan_grouped
+    from cotengra_tpu.ops.lowering import (
+        extract_contractions,
+        sliced_input_legs,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 18
+    state = [f"a{k}" for k in range(n)]
+    inputs = [tuple(state)]
+    arrays = [
+        rng.normal(size=(2,) * n) + 1j * rng.normal(size=(2,) * n)
+    ]
+    cur = list(state)
+    nxt = 0
+    # 2-qubit gates at leading (grid), middle (row) and trailing
+    # (lane) positions, plus a mixed-span pair
+    for i, j in [(0, 1), (5, 6), (16, 17), (2, 12), (8, 9), (13, 17)]:
+        bi, bj = f"b{nxt}", f"b{nxt + 1}"
+        nxt += 2
+        inputs.append((bi, bj, cur[i], cur[j]))
+        arrays.append(
+            rng.normal(size=(2, 2, 2, 2))
+            + 1j * rng.normal(size=(2, 2, 2, 2))
+        )
+        cur[i], cur[j] = bi, bj
+    size_dict = {ix: 2 for t in inputs for ix in t}
+    tree = ctg.ContractionTree.from_path(
+        inputs, tuple(cur), size_dict, path=[(0, 1)] * (len(inputs) - 1)
+    )
+
+    ir = extract_contractions(tree)
+    orders = [sliced_input_legs(tree, i) for i in range(tree.N)]
+    plans, *_ = plan_grouped(
+        ir, tree.size_dict, orders, inplace_gates=True
+    )
+    assert sum(k == "inplace" for k, _ in plans) >= 2
+
+    ref = tree.contract(arrays)
+    core = make_grouped_staged_contractor(
+        tree, stage_size=50, split_complex=True, inplace_gates=True
+    )
+    got = core(*arrays)
+    assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-8)
+
+
 @pytest.mark.parametrize("batched", [False, True])
 def test_grouped_staged_plane_io(batched):
     """plane_io: complex-free I/O matches the complex path."""
