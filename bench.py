@@ -93,10 +93,10 @@ def main():
             tree = cand
     t_plan = time.time() - t0
 
-    # slice to a comfortable intermediate size (2^25 complex64 = 256 MB);
-    # smaller targets also keep the axon remote-compile helper within its
-    # memory cap on deep circuits
-    target_size = 2 ** int(os.environ.get("BENCH_TARGET_SIZE", "25"))
+    # slice to a comfortable intermediate size: 2^27 plane-f32 = 512 MB
+    # per plane maximizes arithmetic intensity and minimizes slice count
+    # while fitting v5e HBM (2^28 OOMs in the scan-batched program)
+    target_size = 2 ** int(os.environ.get("BENCH_TARGET_SIZE", "27"))
     if tree.max_size() > target_size:
         tree.slice_and_reconfigure_(
             target_size,
