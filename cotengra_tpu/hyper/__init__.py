@@ -17,7 +17,11 @@ from .space import (
     get_optlib,
     register_hyper_optlib,
 )
-from .optlibs import NelderMeadOptLib, register_optional_optlibs
+from .optlibs import (
+    NelderMeadOptLib,
+    SubplexOptLib,
+    register_optional_optlibs,
+)
 
 register_optional_optlibs()
 

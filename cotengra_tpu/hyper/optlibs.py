@@ -128,8 +128,84 @@ class NelderMeadOptLib(HyperOptLib):
         del simplex[d + 1:]
 
 
-register_hyper_optlib("nm", NelderMeadOptLib)
-register_hyper_optlib("sbplx", NelderMeadOptLib)  # alias
+class SubplexOptLib(HyperOptLib):
+    """Subplex (Rowan 1990) sampler — the in-house heavy hitter.
+
+    One :class:`~cotengra_tpu.hyper.simplex.SubplexSampler` per method
+    in the unit-mapped space (reference role:
+    ``hyperoptimizers/hyper_sbplx.py``). Fully asynchronous: blocked
+    sub-simplices yield filler points, so parallel pre-dispatch of many
+    trials before any results is safe.
+    """
+
+    def __init__(self, methods, spaces, constants, seed=None, **kwargs):
+        from .simplex import SubplexSampler
+
+        super().__init__(methods, spaces, constants, seed=seed)
+        self.samplers = {}
+        for m in self.methods:
+            self.samplers[m] = SubplexSampler(
+                ndim=len(self.spaces[m]),
+                seed=self.rng.randrange(2**31),
+                **kwargs,
+            )
+        # (method, params-key) -> FIFO of outstanding sampler tokens
+        self.pending = {}
+
+    def _dims(self, method):
+        return sorted(self.spaces[method])
+
+    def ask(self):
+        method = self.choose_method()
+        space = self.spaces[method]
+        token, vec = self.samplers[method].ask()
+        params = {
+            name: _from_unit(space[name], u)
+            for name, u in zip(self._dims(method), vec)
+        }
+        key = (method, tuple(sorted(params.items())))
+        self.pending.setdefault(key, []).append(token)
+        return method, {**self.constants.get(method, {}), **params}
+
+    def tell(self, method, params, score):
+        super().tell(method, params, score)
+        space = self.spaces[method]
+        bare = {k: v for k, v in params.items() if k in space}
+        key = (method, tuple(sorted(bare.items())))
+        fifo = self.pending.get(key)
+        if fifo:
+            token = fifo.pop(0)
+            if not fifo:
+                del self.pending[key]
+        else:
+            # trial not issued by us (e.g. replayed from cache): feed it
+            # through a fresh token so the best-point tracking still sees
+            # it, by synthesizing an ask-free tell
+            sampler = self.samplers[method]
+            vec = [
+                _to_unit(space[name], bare[name])
+                for name in self._dims(method)
+            ]
+            token, _ = sampler._issue("free", None, None, vec)
+        if not math.isfinite(score):
+            score = 1e300
+        self.samplers[method].tell(token, score)
+
+
+class WholeNelderMeadOptLib(SubplexOptLib):
+    """Full Nelder-Mead (single-subspace subplex: one NM core over all
+    dimensions, with step rescaling and local/global restarts)."""
+
+    def __init__(self, methods, spaces, constants, seed=None, **kwargs):
+        kwargs.setdefault("nsmin", 10**9)
+        kwargs.setdefault("nsmax", 10**9)
+        super().__init__(
+            methods, spaces, constants, seed=seed, **kwargs
+        )
+
+
+register_hyper_optlib("nm", WholeNelderMeadOptLib)
+register_hyper_optlib("sbplx", SubplexOptLib)
 
 
 class OptunaOptLib(HyperOptLib):

