@@ -115,6 +115,61 @@ def test_simulated_anneal_improves():
     assert t2.contract_stats() == fresh.contract_stats()
 
 
+@pytest.mark.parametrize("mode", ["basic", "reslice", "drift", 2])
+def test_simulated_anneal_slice_modes(mode):
+    inputs, output, shapes, size_dict = ctg.rand_equation(
+        30, 3, d_min=2, d_max=2, seed=5
+    )
+    path = ctg.optimize_random(inputs, output, size_dict, seed=5)
+    tree = ContractionTree.from_path(inputs, output, size_dict, path=path)
+    target = tree.max_size() // 4
+    t2 = simulated_anneal_tree(
+        tree, tsteps=12, target_size=target, mode=mode, seed=0
+    )
+    if mode != "drift":
+        # all but drift enforce the final target
+        assert t2.max_size() <= target
+    # integrity: stats must match a from-scratch recompute
+    fresh = ContractionTree(t2.inputs, t2.output, t2.size_dict)
+    fresh.children = dict(t2.children)
+    for ix in t2.sliced_inds:
+        fresh.remove_ind_(ix)
+    assert t2.contract_stats() == fresh.contract_stats()
+
+
+def test_simulated_anneal_numiter_sweeps():
+    inputs, output, shapes, size_dict = ctg.rand_equation(24, 3, seed=3)
+    path = ctg.optimize_random(inputs, output, size_dict, seed=3)
+    tree = ContractionTree.from_path(inputs, output, size_dict, path=path)
+    f0 = tree.total_flops()
+    t2 = simulated_anneal_tree(tree, tsteps=6, numiter=5, seed=0)
+    assert t2.total_flops() <= f0
+
+
+def test_parallel_temper_target_size_penalty():
+    inputs, output, shapes, size_dict = ctg.rand_equation(
+        24, 3, d_min=2, d_max=2, seed=7
+    )
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    target = tree.max_size() // 2
+    t2 = parallel_temper_tree(
+        tree,
+        num_replicas=3,
+        rounds=2,
+        target_size=target,
+        seed=0,
+    )
+    # drift mode floats around the target; sliced size must have moved
+    # toward it and the tree must stay consistent
+    fresh = ContractionTree(t2.inputs, t2.output, t2.size_dict)
+    fresh.children = dict(t2.children)
+    for ix in t2.sliced_inds:
+        fresh.remove_ind_(ix)
+    assert t2.contract_stats() == fresh.contract_stats()
+
+
 def test_parallel_temper():
     inputs, output, shapes, size_dict = ctg.rand_equation(20, 3, seed=6)
     tree = ctg.array_contract_tree(
