@@ -601,20 +601,30 @@ def contract_tree(tree, arrays, strip_exponent=False, **kwargs):
     return fn(*arrays)
 
 
-def gen_output_chunks(tree, arrays, **kwargs):
+def gen_output_chunks(tree, arrays, strip_exponent=False, **kwargs):
     """Generate the output chunks of an output-sliced contraction one at
     a time, without materializing the full output (reference
     ``core.py:3884-3941``). Yields ``(chunk_key, chunk_array)`` where
-    ``chunk_key`` maps each output-sliced index to its value.
+    ``chunk_key`` maps each output-sliced index to its value. With
+    ``strip_exponent=True`` each chunk is a ``(mantissa, exponent)``
+    pair and the inner sum composes with the stripping
+    (reference gather semantics, ``core.py:3856-3863``).
     """
     n_inner, n_chunks, _ = _chunk_structure(tree)
-    core = tree.get_contractor(**kwargs)
+    core = tree.get_contractor(
+        strip_exponent=strip_exponent, **kwargs
+    )
     for c in range(n_chunks):
         acc = None
         for k in range(n_inner):
             sid = c * n_inner + k
             res = core(*slice_arrays(tree, arrays, sid))
-            acc = res if acc is None else acc + res
+            if acc is None:
+                acc = res
+            elif strip_exponent:
+                acc = _add_stripped(acc, res)
+            else:
+                acc = acc + res
         key = {
             ix: v
             for ix, v in tree.slice_key(c * n_inner).items()
