@@ -81,9 +81,14 @@ def parse_parallel_arg(parallel):
         # never auto-create nested pools inside workers
         return None
 
-    _check_pid()
-
     if parallel is True or parallel == "auto":
+        # fork guard: if this process inherited another process's pool
+        # state (PID mismatch), auto must NOT silently spin up a fresh
+        # pool - that is how recursive pool explosions start (reference
+        # ``parallel.py`` PID guard). Explicit backend requests below
+        # still work after the _check_pid cache invalidation.
+        if _POOL_PID is not None and _POOL_PID != os.getpid():
+            return None
         key = ("processes", get_num_workers())
     elif isinstance(parallel, int):
         key = ("processes", parallel)
@@ -105,6 +110,7 @@ def parse_parallel_arg(parallel):
     else:
         raise ValueError(f"Can't interpret parallel={parallel!r}.")
 
+    _check_pid()
     try:
         pool = _CACHED_POOLS[key]
     except KeyError:
