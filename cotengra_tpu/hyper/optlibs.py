@@ -333,6 +333,280 @@ class NevergradOptLib(HyperOptLib):
             )
 
 
+class CMAESOptLib(HyperOptLib):
+    """In-house separable CMA-ES (Ros & Hansen 2008) in the unit cube.
+
+    Diagonal-covariance evolution strategy per method: generation-based
+    (mean/step-size/path updates fire once ``popsize`` results arrive),
+    but ask is always non-blocking - samples are i.i.d. draws from the
+    current search distribution, so over-asking before tells simply
+    enlarges the generation pool. Fills the reference's cmaes-backend
+    role (``hyperoptimizers/hyper_cmaes.py``) without the external
+    dependency.
+    """
+
+    def __init__(
+        self,
+        methods,
+        spaces,
+        constants,
+        seed=None,
+        sigma0=0.3,
+        popsize=None,
+        **kwargs,
+    ):
+        super().__init__(methods, spaces, constants, seed=seed)
+        self.state = {}
+        for m in self.methods:
+            d = len(self.spaces[m])
+            lam = popsize or (4 + int(3 * math.log(max(d, 1))))
+            mu = lam // 2
+            # log-linear recombination weights
+            w = [math.log(mu + 0.5) - math.log(i + 1) for i in range(mu)]
+            tot = sum(w)
+            w = [wi / tot for wi in w]
+            mueff = 1.0 / sum(wi * wi for wi in w)
+            n = max(d, 1)
+            cs = (mueff + 2) / (n + mueff + 5)
+            cc = (4 + mueff / n) / (n + 4 + 2 * mueff / n)
+            c1 = 2 / ((n + 1.3) ** 2 + mueff)
+            cmu = min(
+                1 - c1,
+                2 * (mueff - 2 + 1 / mueff) / ((n + 2) ** 2 + mueff),
+            )
+            # separable correction: scale learning rates up by (n+2)/3
+            sep = (n + 2) / 3.0
+            self.state[m] = {
+                "d": d,
+                "lam": lam,
+                "w": w,
+                "mueff": mueff,
+                "cs": cs,
+                "cc": cc,
+                "c1": min(1.0, c1 * sep),
+                "cmu": min(1.0, cmu * sep),
+                "damps": 1
+                + 2 * max(0.0, math.sqrt((mueff - 1) / (n + 1)) - 1)
+                + cs,
+                "chi_n": math.sqrt(n)
+                * (1 - 1 / (4 * n) + 1 / (21 * n * n)),
+                "mean": [0.5] * d,
+                "sigma": sigma0,
+                "C": [1.0] * d,  # diagonal covariance
+                "ps": [0.0] * d,
+                "pc": [0.0] * d,
+                "gen": [],  # buffered (score, z) results
+            }
+        self.pending = {}
+
+    def _dims(self, method):
+        return sorted(self.spaces[method])
+
+    def ask(self):
+        method = self.choose_method()
+        st = self.state[method]
+        space = self.spaces[method]
+        z = [self.rng.gauss(0, 1) for _ in range(st["d"])]
+        vec = [
+            min(
+                max(
+                    st["mean"][i]
+                    + st["sigma"] * math.sqrt(st["C"][i]) * z[i],
+                    0.0,
+                ),
+                1.0,
+            )
+            for i in range(st["d"])
+        ]
+        params = {
+            name: _from_unit(space[name], u)
+            for name, u in zip(self._dims(method), vec)
+        }
+        key = (method, tuple(sorted(params.items())))
+        self.pending.setdefault(key, []).append(z)
+        return method, {**self.constants.get(method, {}), **params}
+
+    def tell(self, method, params, score):
+        super().tell(method, params, score)
+        st = self.state[method]
+        if st["d"] == 0:
+            return
+        space = self.spaces[method]
+        bare = {k: v for k, v in params.items() if k in space}
+        key = (method, tuple(sorted(bare.items())))
+        fifo = self.pending.get(key)
+        if fifo:
+            z = fifo.pop(0)
+            if not fifo:
+                del self.pending[key]
+        else:
+            # replayed/foreign result: back out z from the params
+            vec = [
+                _to_unit(space[name], bare[name])
+                for name in self._dims(method)
+            ]
+            z = [
+                (vec[i] - st["mean"][i])
+                / (st["sigma"] * math.sqrt(st["C"][i]) or 1.0)
+                for i in range(st["d"])
+            ]
+        if not math.isfinite(score):
+            score = 1e300
+        st["gen"].append((score, z))
+        if len(st["gen"]) >= st["lam"]:
+            self._update(st)
+
+    def _update(self, st):
+        d, w = st["d"], st["w"]
+        mu = len(w)
+        st["gen"].sort(key=lambda sz: sz[0])
+        elite = [z for _, z in st["gen"][:mu]]
+        st["gen"] = []
+        # weighted mean step in z-space
+        zw = [
+            sum(w[k] * elite[k][i] for k in range(mu)) for i in range(d)
+        ]
+        # move the mean
+        for i in range(d):
+            st["mean"][i] = min(
+                max(
+                    st["mean"][i]
+                    + st["sigma"] * math.sqrt(st["C"][i]) * zw[i],
+                    0.0,
+                ),
+                1.0,
+            )
+        cs, cc = st["cs"], st["cc"]
+        mueff = st["mueff"]
+        # step-size path (z-space, isotropic)
+        st["ps"] = [
+            (1 - cs) * st["ps"][i]
+            + math.sqrt(cs * (2 - cs) * mueff) * zw[i]
+            for i in range(d)
+        ]
+        ps_norm = math.sqrt(sum(p * p for p in st["ps"]))
+        # covariance path (x-space steps, normalized by sigma)
+        hsig = (
+            ps_norm / math.sqrt(1 - (1 - cs) ** 2) / st["chi_n"]
+            < 1.4 + 2 / (d + 1)
+        )
+        st["pc"] = [
+            (1 - cc) * st["pc"][i]
+            + (
+                math.sqrt(cc * (2 - cc) * mueff)
+                * math.sqrt(st["C"][i])
+                * zw[i]
+                if hsig
+                else 0.0
+            )
+            for i in range(d)
+        ]
+        c1, cmu = st["c1"], st["cmu"]
+        for i in range(d):
+            rank_mu = sum(
+                w[k] * st["C"][i] * elite[k][i] ** 2 for k in range(mu)
+            )
+            st["C"][i] = max(
+                (1 - c1 - cmu) * st["C"][i]
+                + c1 * st["pc"][i] ** 2
+                + cmu * rank_mu,
+                1e-20,
+            )
+        st["sigma"] *= math.exp(
+            (cs / st["damps"]) * (ps_norm / st["chi_n"] - 1)
+        )
+        st["sigma"] = min(max(st["sigma"], 1e-8), 2.0)
+
+
+class SkoptOptLib(HyperOptLib):
+    """scikit-optimize adapter (only if skopt is installed): one
+    regressor-backed ``skopt.Optimizer`` per method (reference
+    ``hyperoptimizers/hyper_skopt.py:42-143``)."""
+
+    def __init__(
+        self,
+        methods,
+        spaces,
+        constants,
+        seed=None,
+        sampler="et",
+        sampler_opts=None,
+        **kwargs,
+    ):
+        from skopt.optimizer import Optimizer
+        from skopt.space import Categorical, Integer, Real
+
+        super().__init__(methods, spaces, constants, seed=seed)
+
+        def to_skopt_dim(name, spec):
+            t = spec["type"]
+            if t == "FLOAT":
+                return Real(spec["min"], spec["max"], name=name)
+            if t == "FLOAT_EXP":
+                return Real(
+                    spec["min"],
+                    spec["max"],
+                    prior="log-uniform",
+                    name=name,
+                )
+            if t == "INT":
+                return Integer(spec["min"], spec["max"], name=name)
+            if t == "BOOL":
+                return Categorical([False, True], name=name)
+            return Categorical(list(spec["options"]), name=name)
+
+        self._names = {m: sorted(spaces[m]) for m in self.methods}
+        self._opts = {
+            m: Optimizer(
+                [
+                    to_skopt_dim(name, spaces[m][name])
+                    for name in self._names[m]
+                ],
+                base_estimator=sampler,
+                random_state=(
+                    self.rng.randrange(2**31) if seed is not None
+                    else None
+                ),
+                **(sampler_opts or {}),
+            )
+            for m in self.methods
+        }
+        self._asked = {}
+
+    def ask(self):
+        import warnings
+
+        method = self.choose_method()
+        with warnings.catch_warnings():
+            warnings.filterwarnings("ignore", module="skopt")
+            warnings.filterwarnings("ignore", module="sklearn")
+            raw = self._opts[method].ask()
+        params = dict(zip(self._names[method], raw))
+        self._asked[(method, tuple(sorted(params.items())))] = raw
+        return method, {**self.constants.get(method, {}), **params}
+
+    def tell(self, method, params, score):
+        import warnings
+
+        super().tell(method, params, score)
+        bare = {
+            k: v for k, v in params.items() if k in self.spaces[method]
+        }
+        raw = self._asked.pop(
+            (method, tuple(sorted(bare.items()))), None
+        )
+        if raw is not None:
+            with warnings.catch_warnings():
+                warnings.filterwarnings("ignore", module="skopt")
+                warnings.filterwarnings("ignore", module="sklearn")
+                self._opts[method].tell(
+                    raw, score if math.isfinite(score) else 1e30
+                )
+
+
+register_hyper_optlib("cmaes", CMAESOptLib)
+
+
 def register_optional_optlibs():
     try:
         import optuna  # noqa: F401
@@ -344,5 +618,11 @@ def register_optional_optlibs():
         import nevergrad  # noqa: F401
 
         register_hyper_optlib("nevergrad", NevergradOptLib)
+    except ImportError:
+        pass
+    try:
+        import skopt  # noqa: F401
+
+        register_hyper_optlib("skopt", SkoptOptLib)
     except ImportError:
         pass

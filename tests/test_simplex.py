@@ -297,6 +297,38 @@ def test_hyper_driver_with_simplex_optlibs(optlib):
     assert opt.best_score < float("inf")
 
 
+def test_cmaes_optimizes_quadratic():
+    """In-house sep-CMA-ES converges on a smooth landscape."""
+    from cotengra_tpu.hyper.optlibs import CMAESOptLib
+
+    space = {
+        f"p{i}": {"type": "FLOAT", "min": 0.0, "max": 1.0}
+        for i in range(4)
+    }
+    lib = CMAESOptLib(["m"], {"m": space}, {"m": {}}, seed=0)
+    at = {"p0": 0.2, "p1": 0.8, "p2": 0.4, "p3": 0.6}
+    best = math.inf
+    for _ in range(250):
+        method, params = lib.ask()
+        score = sum((params[k] - at[k]) ** 2 for k in at)
+        best = min(best, score)
+        lib.tell(method, params, score)
+    assert best < 1e-3
+
+
+def test_cmaes_through_hyper_driver():
+    inputs, output, shapes, size_dict = ctg.rand_equation(20, 3, seed=2)
+    opt = ctg.HyperOptimizer(
+        max_repeats=12,
+        optlib="cmaes",
+        on_trial_error="raise",
+        seed=0,
+    )
+    tree = opt.search(inputs, output, size_dict)
+    assert tree.is_complete()
+    assert opt.best_score < float("inf")
+
+
 def test_sbplx_is_not_a_bare_alias():
     """VERDICT Weak #6: 'sbplx' must be a distinct sampler."""
     from cotengra_tpu.hyper.space import get_optlib
