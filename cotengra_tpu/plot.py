@@ -386,6 +386,238 @@ def plot_hypergraph(hg, ax=None, figsize=(5, 5), **layout_opts):
     return fig, ax
 
 
+def plot_tree_circuit(
+    tree,
+    edge_colormap="GnBu",
+    edge_max_width=None,
+    node_colormap="YlOrRd",
+    node_max_size=None,
+    figsize=None,
+):
+    """Draw the contraction tree as a circuit-like staircase diagram on
+    a :class:`~cotengra_tpu.schematic.Drawing` canvas: leaves along the
+    diagonal, every contraction a node whose size/color encodes log2
+    flops, edges weighted/colored by log2 intermediate size (reference
+    ``plot.py:1880-1978``).
+    """
+    import matplotlib as mpl
+
+    from .schematic import Drawing
+
+    if figsize is None:
+        figsize = (tree.N**0.75, tree.N**0.75)
+    d = Drawing(figsize=figsize)
+
+    if edge_max_width is None:
+        edge_max_width = max(math.log2(max(tree.max_size(), 2)), 1)
+    enorm = mpl.colors.Normalize(0, edge_max_width, clip=True)
+    if not isinstance(edge_colormap, mpl.colors.Colormap):
+        edge_colormap = mpl.colormaps[edge_colormap]
+    emap = mpl.cm.ScalarMappable(norm=enorm, cmap=edge_colormap)
+
+    if node_max_size is None:
+        node_max_size = max(
+            math.log2(max(tree.get_flops(p), 2))
+            for p in tree.children
+        )
+    nnorm = mpl.colors.Normalize(0, node_max_size, clip=True)
+    if not isinstance(node_colormap, mpl.colors.Colormap):
+        node_colormap = mpl.colormaps[node_colormap]
+    nmap = mpl.cm.ScalarMappable(norm=nnorm, cmap=node_colormap)
+
+    pos = {tree.root: (0, 0)}
+    queue = [tree.root]
+    while queue:
+        p = queue.pop(0)
+        px, py = pos[p]
+        l, r = tree.children[p]
+        # right branch steps down-left one, left branch clears the
+        # whole right subtree horizontally
+        pos[r] = (px - 1, py - 1)
+        pos[l] = (px - tree.node_extent(r), py)
+
+        for child, rot, va in ((l, -90, "center"), (r, -45, "top")):
+            if not tree.is_leaf(child):
+                queue.append(child)
+            else:
+                i = child.bit_length() - 1
+                d.text(
+                    pos[child],
+                    f"{i}",
+                    color=(0.5, 0.5, 0.5, 0.5),
+                    fontsize=20 * tree.N**-0.25,
+                    rotation=rot,
+                    ha="right",
+                    va=va,
+                    family="monospace",
+                )
+
+        lw = math.log2(max(tree.get_size(l), 2))
+        rw = math.log2(max(tree.get_size(r), 2))
+        pc = math.log2(max(tree.get_flops(p), 2))
+        d.line(
+            pos[l], pos[p],
+            color=emap.to_rgba(lw),
+            linewidth=5 * lw / edge_max_width,
+        )
+        d.line(
+            pos[r], pos[p],
+            color=emap.to_rgba(rw),
+            linewidth=5 * rw / edge_max_width,
+        )
+        d.circle(
+            pos[p],
+            color=nmap.to_rgba(pc),
+            radius=0.3 * pc / node_max_size,
+            linewidth=0,
+        )
+    return d.fig, d.ax
+
+
+# -- altair (interactive) variants --------------------------------------------
+
+
+def _get_alt():
+    try:
+        import altair as alt
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "The interactive *_alt plots require altair."
+        ) from e
+    return alt
+
+
+def trials_to_df(opt):
+    """Export hyper-optimizer trial telemetry as a pandas DataFrame."""
+    import pandas as pd
+
+    rows = []
+    best = float("inf")
+    for i, t in enumerate(opt.trials):
+        flops = t.get("flops", float("inf"))
+        score = t.get("score", float("inf"))
+        if math.isfinite(score):
+            best = min(best, score)
+        rows.append(
+            {
+                "trial": i,
+                "method": t.get("method", "?"),
+                "score": score if math.isfinite(score) else None,
+                "best_score": best if math.isfinite(best) else None,
+                "log10_flops": (
+                    math.log10(max(flops, 1))
+                    if math.isfinite(flops)
+                    else None
+                ),
+                "log2_size": (
+                    math.log2(max(t.get("size", 1), 1))
+                    if math.isfinite(t.get("size", float("inf")))
+                    else None
+                ),
+                "time": t.get("time", None),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def plot_trials_alt(opt, y="score", width=600, height=300):
+    """Interactive altair version of :func:`plot_trials`."""
+    alt = _get_alt()
+    df = trials_to_df(opt)
+    points = (
+        alt.Chart(df)
+        .mark_point(filled=True, size=30)
+        .encode(
+            x="trial:Q",
+            y=alt.Y(f"{y}:Q", scale=alt.Scale(zero=False)),
+            color="method:N",
+            tooltip=list(df.columns),
+        )
+    )
+    line = (
+        alt.Chart(df)
+        .mark_line(color="#333333", strokeWidth=1)
+        .encode(x="trial:Q", y="best_score:Q")
+    )
+    return (points + line).properties(width=width, height=height)
+
+
+def plot_scatter_alt(
+    opt, x="log2_size", y="log10_flops", width=400, height=400
+):
+    """Interactive altair version of :func:`plot_scatter`."""
+    alt = _get_alt()
+    df = trials_to_df(opt)
+    return (
+        alt.Chart(df)
+        .mark_point(filled=True, size=30)
+        .encode(
+            x=alt.X(f"{x}:Q", scale=alt.Scale(zero=False)),
+            y=alt.Y(f"{y}:Q", scale=alt.Scale(zero=False)),
+            color="method:N",
+            tooltip=list(df.columns),
+        )
+        .properties(width=width, height=height)
+        .interactive()
+    )
+
+
+def plot_contractions_alt(tree, width=600, height=300):
+    """Interactive altair version of :func:`plot_contractions`."""
+    alt = _get_alt()
+    df = tree_to_df(tree)
+    df = df.melt(
+        id_vars=["step"],
+        value_vars=["log10_flops", "log2_size"],
+        var_name="quantity",
+        value_name="value",
+    )
+    return (
+        alt.Chart(df)
+        .mark_line()
+        .encode(
+            x="step:Q",
+            y="value:Q",
+            color="quantity:N",
+            tooltip=["step", "quantity", "value"],
+        )
+        .properties(width=width, height=height)
+        .interactive()
+    )
+
+
+def plot_slicings_alt(slice_finder, width=500, height=300, trials=16):
+    """Interactive altair version of :func:`plot_slicings`."""
+    import pandas as pd
+
+    alt = _get_alt()
+    rows = []
+    for k in range(trials):
+        costs, _inds = slice_finder.trial()
+        rows.append(
+            {
+                "trial": k,
+                "log2_nslices": math.log2(max(costs.nslices, 1)),
+                "log10_flops": math.log10(
+                    max(costs.nslices * costs.total_flops, 1)
+                ),
+            }
+        )
+    df = pd.DataFrame(rows)
+    return (
+        alt.Chart(df)
+        .mark_point(filled=True)
+        .encode(
+            x="log2_nslices:Q",
+            y=alt.Y("log10_flops:Q", scale=alt.Scale(zero=False)),
+            color="trial:Q",
+            tooltip=list(df.columns),
+        )
+        .properties(width=width, height=height)
+        .interactive()
+    )
+
+
 def _attach_plot_methods():
     """Bind plotting methods onto the main classes (parity with the
     reference's ``tree.plot_*`` methods)."""
@@ -400,11 +632,16 @@ def _attach_plot_methods():
     ContractionTree.plot_span = plot_tree_span
     ContractionTree.plot_flat = plot_tree_flat
     ContractionTree.plot_rubberband = plot_tree_rubberband
+    ContractionTree.plot_circuit = plot_tree_circuit
     ContractionTree.plot_contractions = plot_contractions
+    ContractionTree.plot_contractions_alt = plot_contractions_alt
     ContractionTree.to_networkx = tree_to_networkx
     ContractionTree.to_df = tree_to_df
     HyperOptimizer.plot_trials = plot_trials
+    HyperOptimizer.plot_trials_alt = plot_trials_alt
     HyperOptimizer.plot_scatter = plot_scatter
+    HyperOptimizer.plot_scatter_alt = plot_scatter_alt
     HyperOptimizer.plot_parameters_parallel = plot_parameters_parallel
     SliceFinder.plot_slicings = plot_slicings
+    SliceFinder.plot_slicings_alt = plot_slicings_alt
     HyperGraph.plot = plot_hypergraph
