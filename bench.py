@@ -73,35 +73,60 @@ def main():
         file=sys.stderr,
     )
     t0 = time.time()
-    # winning recipe (beats reference rg-512 and hyper-128 on this
-    # instance by ~0.35 log10): native rg-512 -> deep reconfigure -> SA
-    ssa_path, lf = optimize_random_greedy_track_flops(
-        inputs, output, size_dict, ntrials=512, seed=seed, use_ssa=True
-    )
-    tree = ContractionTree.from_path(
-        inputs, output, size_dict, ssa_path=ssa_path
-    )
-    tree.subtree_reconfigure_(subtree_size=12, maxiter=500)
-    from cotengra_tpu.pathfinders.annealing import simulated_anneal_tree
-
-    for r in range(2):
-        cand = simulated_anneal_tree(
-            tree, tsteps=40, tmax=0.04, tmin=0.002, seed=r
-        )
-        cand.subtree_reconfigure_(subtree_size=10, maxiter=200)
-        if cand.total_flops() < tree.total_flops():
-            tree = cand
-    t_plan = time.time() - t0
 
     # slice to a comfortable intermediate size: 2^27 plane-f32 = 512 MB
     # per plane maximizes arithmetic intensity and minimizes slice count
     # while fitting v5e HBM (2^28 OOMs in the scan-batched program)
     target_size = 2 ** int(os.environ.get("BENCH_TARGET_SIZE", "27"))
-    if tree.max_size() > target_size:
-        tree.slice_and_reconfigure_(
-            target_size,
-            reconf_opts={"subtree_size": 6, "maxiter": 50},
+
+    # deep instances (m=20) need the expensive slicing-aware hyper
+    # search (~30 min on one core); its winning plan is checked in under
+    # plans/ and validated against the instance content hash on load
+    plan_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "plans",
+        f"sycamore53_m{m}_t{target_size.bit_length() - 1}.json",
+    )
+    tree = None
+    if os.path.exists(plan_file) and not int(
+        os.environ.get("BENCH_REPLAN", "0")
+    ):
+        from cotengra_tpu.utils.io import load_tree
+
+        try:
+            tree = load_tree(plan_file, inputs, output, size_dict)
+            print(f"# plan loaded from {plan_file}", file=sys.stderr)
+        except ValueError as e:
+            print(f"# plan cache mismatch: {e}", file=sys.stderr)
+
+    if tree is None:
+        # winning recipe (beats reference rg-512 and hyper-128 on this
+        # instance by ~0.35 log10): native rg-512 -> deep reconf -> SA
+        ssa_path, lf = optimize_random_greedy_track_flops(
+            inputs, output, size_dict, ntrials=512, seed=seed,
+            use_ssa=True,
         )
+        tree = ContractionTree.from_path(
+            inputs, output, size_dict, ssa_path=ssa_path
+        )
+        tree.subtree_reconfigure_(subtree_size=12, maxiter=500)
+        from cotengra_tpu.pathfinders.annealing import (
+            simulated_anneal_tree,
+        )
+
+        for r in range(2):
+            cand = simulated_anneal_tree(
+                tree, tsteps=40, tmax=0.04, tmin=0.002, seed=r
+            )
+            cand.subtree_reconfigure_(subtree_size=10, maxiter=200)
+            if cand.total_flops() < tree.total_flops():
+                tree = cand
+        if tree.max_size() > target_size:
+            tree.slice_and_reconfigure_(
+                target_size,
+                reconf_opts={"subtree_size": 6, "maxiter": 50},
+            )
+    t_plan = time.time() - t0
 
     print(
         f"# plan: {tree.describe('full')} plan_time={t_plan:.1f}s",

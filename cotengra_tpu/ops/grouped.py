@@ -30,6 +30,8 @@ engines use internally), propagated through the whole tree so the
 high-rank form never exists on device.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -86,7 +88,7 @@ BARRIER_MIN_SIZE = 2**16
 # inside a scan body into VMEM; the default 16MB scoped limit then fails
 # the compile. Raise it for the stage programs (forwarded per-compile
 # even through the remote compile helper).
-_STAGE_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "36864"}
+_STAGE_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "98304"}
 
 
 def _stage_jit(fn):
@@ -298,6 +300,13 @@ def plan_grouped(
             spec, out_order, c_orders = build_chain_spec(
                 chain["order0"], sizes, gates2
             )
+            if spec is not None and _chain_combo_sum(spec) > (
+                INPLACE_MAX_COMBO_SUM
+            ):
+                # the kernel's VPU work scales with the summed K*N MAC
+                # sweeps; past this point an extra HBM round trip (new
+                # chain) is cheaper than more in-pass arithmetic
+                spec = None
             if spec is not None:
                 chain["gates"] = gates2
                 chain["y_ids"].append(p.y_id)
@@ -519,6 +528,29 @@ MAX_GATE_SIZE = 256
 # the in-place pallas path handles larger "gates" (e.g. K=8, N=32
 # fused-qubit blocks); its own MAX_GATE_COMBOS bounds kernel unrolling
 INPLACE_MAX_GATE_SIZE = 2048
+
+# per-chain VPU guard: kernel sweep count per chain. Splitting chains
+# does NOT reduce total VPU work (it only adds HBM passes - measured
+# neutral-to-worse on the bench), so the default is effectively off;
+# the knob remains for pathological chains.
+INPLACE_MAX_COMBO_SUM = int(
+    os.environ.get("CTG_INPLACE_MAX_COMBO_SUM", "1000000")
+)
+
+
+def _chain_combo_sum(spec):
+    """Summed K*N MAC-sweep count of a chain spec (VPU cost proxy)."""
+    total = 0
+    for g in spec.gates:
+        _, _, kdims_dim, ny_dims_dim, _, roll_axes = g[:6]
+        nroll = prod([kk for _, _, kk in roll_axes] or [1])
+        total += (
+            prod(kdims_dim or (1,))
+            * prod(ny_dims_dim or (1,))
+            * nroll
+            * nroll
+        )
+    return total
 
 
 def _try_extend_chain(plans, p, step, si, step_last_use, storage, sizes):

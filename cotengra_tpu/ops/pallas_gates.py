@@ -36,6 +36,7 @@ tiled-layout padding rules.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,10 +48,24 @@ from ..utils.misc import prod
 C_MIN = 1024             # minimum minor dim (lanes)
 R2_MIN, R2_MAX = 8, 128  # second-minor dim bounds (sublanes)
 MAX_VIEW_RANK = 12       # view dims including plane, R2, C
-MAX_CHAIN_GATES = 8
+MAX_CHAIN_GATES = int(os.environ.get("CTG_MAX_CHAIN_GATES", "8"))
 MAX_GATE_DIM_PROD = 64   # product of dim-gate axes live in the tile
 MAX_GATE_COMBOS = 512    # K*N unrolled MACs per gate in the kernel
-VMEM_TILE_BUDGET = 2 * 1024 * 1024  # bytes: in-block + out-block
+# in-block + out-block budget; kernel live temporaries (rolled copies,
+# accumulators, tiled fields) land on the compiler's scoped-vmem stack
+# at ~15-25x this, covered by the raised 64M scoped limit the stage
+# programs compile with (grouped._STAGE_COMPILER_OPTIONS)
+VMEM_TILE_BUDGET = (
+    int(os.environ.get("CTG_VMEM_TILE_BUDGET_KB", "2048")) * 1024
+)
+# coefficient-field mode (see kernel): per-gate / per-chain VMEM budget
+# for the precomputed shift-coefficient fields (0 disables field mode)
+FIELD_GATE_BUDGET = (
+    int(os.environ.get("CTG_FIELD_GATE_BUDGET_KB", "8192")) * 1024
+)
+FIELD_CHAIN_BUDGET = (
+    int(os.environ.get("CTG_FIELD_CHAIN_BUDGET_KB", "16384")) * 1024
+)
 
 
 class ChainSpec:
@@ -217,6 +232,7 @@ def build_chain_spec(order0, sizes, gates):
     gate_specs = []
     c_orders = []
     max_lane_period = 1
+    field_bytes_total = 0
     order = list(order0)  # evolving output leg order
 
     for c_legs, ny_legs in gates:
@@ -275,10 +291,49 @@ def build_chain_spec(order0, sizes, gates):
         first = pos_above[0] if pos_above else (
             len(dims) if anchor_end else 0
         )
-        gate_specs.append(
-            ("mix", tuple(pos_above), kdims_dim, ny_dims_dim, first,
-             roll_axes)
-        )
+        # coefficient-field mode: the roll part runs as sum-of-rolls
+        # weighted by precomputed coefficient lane/row fields -
+        # prod(2k-1) sweeps instead of Nroll^2, and no masks. Budgeted
+        # by the VMEM the fields occupy.
+        mode = "mix"
+        if roll_axes:
+            import itertools
+
+            r2p = max(
+                [st * kk for kind, st, kk in roll_axes if kind == 0]
+                or [1]
+            )
+            pl = max(
+                [st * kk for kind, st, kk in roll_axes if kind == 1]
+                or [1]
+            )
+            shifts = tuple(
+                itertools.product(
+                    *[range(-(kk - 1), kk) for _, _, kk in roll_axes]
+                )
+            )
+            nfields = (
+                prod(kdims_dim or (1,))
+                * prod(ny_dims_dim or (1,))
+                * len(shifts)
+            )
+            fbytes = 2 * nfields * r2p * pl * 4
+            if (
+                fbytes <= FIELD_GATE_BUDGET
+                and field_bytes_total + fbytes <= FIELD_CHAIN_BUDGET
+            ):
+                mode = "field"
+                field_bytes_total += fbytes
+        if mode == "field":
+            gate_specs.append(
+                ("field", tuple(pos_above), kdims_dim, ny_dims_dim,
+                 first, roll_axes, shifts, r2p, pl)
+            )
+        else:
+            gate_specs.append(
+                ("mix", tuple(pos_above), kdims_dim, ny_dims_dim,
+                 first, roll_axes)
+            )
         c_orders.append(
             (
                 tuple(dims[i][1] for i in pos_above)
@@ -339,9 +394,6 @@ def build_chain_spec(order0, sizes, gates):
         return None, "gate dim product too large", None
 
     # ---- tiling --------------------------------------------------------
-    # exact tile footprint: in-block + out-block (all leg dims are full
-    # size in the block; kernel temps - slices and rolled copies - are
-    # bounded by a small multiple of these, covered by the budget margin)
     def blocks_bytes(cb):
         bi = 2 * prod(
             [1 if d[0] == "seg" else d[2] for d in in_dims] or [1]
@@ -362,6 +414,26 @@ def build_chain_spec(order0, sizes, gates):
         return None, "tile exceeds VMEM budget", None
     if c_blk % max_lane_period or c_dim % c_blk:
         return None, "C not tileable by lane period", None
+
+    # field-gate fields are materialized at full (r2, c_blk) tile size
+    # outside the kernel (in-kernel tiling from the small period shape
+    # costs thousands of lane concats); now that c_blk is known, demote
+    # any gate whose full-size fields would blow the VMEM budget
+    fb_total = 0
+    for i, g in enumerate(gate_specs):
+        if g[0] != "field":
+            continue
+        nfields = (
+            prod(g[2] or (1,)) * prod(g[3] or (1,)) * len(g[6])
+        )
+        fbytes = 2 * nfields * r2 * c_blk * 4
+        if (
+            fbytes > FIELD_GATE_BUDGET
+            or fb_total + fbytes > FIELD_CHAIN_BUDGET
+        ):
+            gate_specs[i] = ("mix",) + g[1:6]
+        else:
+            fb_total += fbytes
 
     spec = ChainSpec()
     spec._key = None
@@ -413,6 +485,66 @@ def _unravel(s, sizes):
     return tuple(reversed(coords))
 
 
+@functools.lru_cache(maxsize=1024)
+def _field_plan(gate):
+    """Static per-gate field plan for a ``"field"`` gate spec.
+
+    Returns ``(offsets, idx, valid)``:
+
+    - ``offsets[si] = (dr, dc)`` roll amounts per shift vector, in the
+      kernel's ``get_roll`` convention (``out[i] = x[i - d]``);
+    - ``idx``: int32 ``(Kdim, Ndim, S, r2p, pl)`` indices into the
+      flattened realigned ``(K, N)`` gate matrix;
+    - ``valid``: bool, same shape - False where the shifted axis value
+      leaves the axis (the coefficient is zero there, which also kills
+      the circular-roll wrap-around artifacts).
+    """
+    (_, pos, kdims_dim, ny_dims_dim, first, roll_axes, shifts, r2p,
+     pl) = gate
+    roll_kdims = tuple(kk for _, _, kk in roll_axes)
+    nroll = prod(roll_kdims) if roll_kdims else 1
+    kdim = prod(kdims_dim or (1,))
+    ndim = prod(ny_dims_dim or (1,))
+    ntot = ndim * nroll
+    S = len(shifts)
+
+    r = np.arange(r2p).reshape(-1, 1)
+    c = np.arange(pl).reshape(1, -1)
+    nvs = []
+    for kind, st, kk in roll_axes:
+        base = r if kind == 0 else c
+        nvs.append((base // st) % kk)
+
+    offsets = []
+    idx = np.zeros((kdim, ndim, S, r2p, pl), np.int32)
+    valid = np.zeros((kdim, ndim, S, r2p, pl), bool)
+    for si, d in enumerate(shifts):
+        dr = dc = 0
+        ok = np.ones((r2p, pl), bool)
+        kvs = []
+        for (kind, st, kk), da, nv in zip(roll_axes, d, nvs):
+            kv = nv + da
+            ok &= (kv >= 0) & (kv < kk)
+            kvs.append(np.clip(kv, 0, kk - 1))
+            if kind == 0:
+                dr -= da * st
+            else:
+                dc -= da * st
+        offsets.append((dr, dc))
+        krflat = np.zeros((r2p, pl), np.int64)
+        nrflat = np.zeros((r2p, pl), np.int64)
+        for kk, kv, nv in zip(roll_kdims, kvs, nvs):
+            krflat = krflat * kk + kv
+            nrflat = nrflat * kk + nv
+        for kd in range(kdim):
+            kflat = kd * nroll + krflat
+            for nd in range(ndim):
+                nflat = nd * nroll + nrflat
+                idx[kd, nd, si] = kflat * ntot + nflat
+                valid[kd, nd, si] = ok
+    return tuple(offsets), idx, valid
+
+
 @functools.lru_cache(maxsize=512)
 def _build_pallas_fn(key, dtype_name, interpret):
     """Build the pallas_call callable for a spec key."""
@@ -440,16 +572,22 @@ def _build_pallas_fn(key, dtype_name, interpret):
         hi = jax.lax.slice_in_dim(x, 0, x.shape[axis] - d, axis=axis)
         return jnp.concatenate([lo, hi], axis=axis)
 
+    field_gate_ids = [i for i, g in enumerate(gates) if g[0] == "field"]
+    nfield = len(field_gate_ids)
+    field_slot = {gi: k for k, gi in enumerate(field_gate_ids)}
+
     def kernel(*refs):
         y_refs = refs[:ngates]
-        x_ref = refs[ngates]
-        o_ref = refs[ngates + 1]
+        f_refs = refs[ngates:ngates + nfield]
+        x_ref = refs[ngates + nfield]
+        o_ref = refs[ngates + nfield + 1]
         t = x_ref[:]
         tr, ti = t[0], t[1]
         for gi, g in enumerate(gates):
             yv = y_refs[gi][:]
             yr, yi = yv[0], yv[1]          # (K, N)
-            _, pos, kdims_dim, ny_dims_dim, first, roll_axes = g
+            mode = g[0]
+            _, pos, kdims_dim, ny_dims_dim, first, roll_axes = g[:6]
             roll_kdims = tuple(kk for _, _, kk in roll_axes)
             Nroll = prod(roll_kdims) if roll_kdims else 1
             Ndim = prod(ny_dims_dim) if ny_dims_dim else 1
@@ -485,6 +623,50 @@ def _build_pallas_fn(key, dtype_name, interpret):
                             xi = _roll(xi, dc, xi.ndim - 1)
                         rolled[kk] = (xr, xi)
                     return rolled[kk]
+
+            if mode == "field":
+                # sum-of-rolls with precomputed coefficient fields:
+                # prod(2k-1) sweeps, no masks (invalid shifts carry
+                # zero coefficients, which also nulls circular wrap)
+                offsets, _, _ = _field_plan(g)
+                S = len(offsets)
+                # fields arrive pre-tiled to the full (r2, c_blk) tile
+                fv = f_refs[field_slot[gi]][:]
+
+                def fld(plane, fidx):
+                    return fv[plane, fidx]
+
+                outs_r, outs_i = [], []
+                for ndflat in range(Ndim):
+                    ar = ai = None
+                    for kdflat, (xr, xi) in enumerate(xslices):
+                        for si, (dr, dc) in enumerate(offsets):
+                            if dr == 0 and dc == 0:
+                                xr2, xi2 = xr, xi
+                            else:
+                                xr2, xi2 = get_roll(kdflat, dr, dc)
+                            fidx = (kdflat * Ndim + ndflat) * S + si
+                            fr = fld(0, fidx)
+                            fi_ = fld(1, fidx)
+                            pr = fr * xr2 - fi_ * xi2
+                            pi = fr * xi2 + fi_ * xr2
+                            ar = pr if ar is None else ar + pr
+                            ai = pi if ai is None else ai + pi
+                    outs_r.append(ar)
+                    outs_i.append(ai)
+                if pos or ny_dims_dim:
+                    tr = jnp.stack(outs_r, axis=first)
+                    ti = jnp.stack(outs_i, axis=first)
+                    if len(ny_dims_dim) != 1:
+                        shape = (
+                            tr.shape[:first] + tuple(ny_dims_dim)
+                            + tr.shape[first + 1:]
+                        )
+                        tr = tr.reshape(shape)
+                        ti = ti.reshape(shape)
+                else:
+                    tr, ti = outs_r[0], outs_i[0]
+                continue
 
             outs_r, outs_i = [], []
             for ndflat, nd in enumerate(np.ndindex(*ny_dims_dim)):
@@ -570,10 +752,11 @@ def _build_pallas_fn(key, dtype_name, interpret):
         return index
 
     y_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(ngates)
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+        for _ in range(ngates + nfield)
     ]
 
-    def fn(x, ys):
+    def fn(x, ys, fields):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(out_view, dtype),
@@ -595,7 +778,7 @@ def _build_pallas_fn(key, dtype_name, interpret):
                 dimension_semantics=("arbitrary", "arbitrary"),
             ),
             interpret=interpret,
-        )(*ys, x)
+        )(*ys, *fields, x)
 
     return fn
 
@@ -613,7 +796,23 @@ def run_chain(spec, x_flat, ys, interpret=None):
     fn = _build_pallas_fn(spec.key(), jnp.dtype(dtype).name, interpret)
     x = x_flat.reshape(spec.in_view)
     ys = [y.astype(dtype) for y in ys]
-    out = fn(x, ys)
+    # gather the coefficient fields for "field"-mode gates from their
+    # realigned (2, K, N) matrices (XLA-side; tiny)
+    fields = []
+    for gi, g in enumerate(spec.gates):
+        if g[0] != "field":
+            continue
+        _, idx, valid = _field_plan(g)
+        nf = idx.shape[0] * idx.shape[1] * idx.shape[2]
+        r2p, pl = idx.shape[3], idx.shape[4]
+        idxf = jnp.asarray(idx.reshape(nf, r2p, pl))
+        vf = jnp.asarray(valid.reshape(nf, r2p, pl))
+        yf = ys[gi].reshape(2, -1)
+        f = jnp.where(vf[None], yf[:, idxf], jnp.zeros((), dtype))
+        # pre-tile to the full kernel tile (XLA-side; read once)
+        f = jnp.tile(f, (1, 1, spec.r2 // r2p, spec.c_blk // pl))
+        fields.append(f)
+    out = fn(x, ys, fields)
     out = out.reshape(-1)
     if not interpret:
         # stop XLA from "scoped"-promoting the kernel output into VMEM

@@ -40,6 +40,59 @@ def load_instance(filename):
     return inputs, output, size_dict
 
 
+def save_tree(filename, tree, **meta):
+    """Save a (possibly sliced) contraction tree as JSON: the children
+    map (int-bitmask nodes as decimal strings), the sliced indices, and
+    a content hash of the instance for load-time validation.
+    """
+    data = {
+        "hash_b": hash_contraction_b(
+            tree.inputs, tree.output, tree.size_dict
+        ),
+        "children": {
+            str(p): [str(l), str(r)]
+            for p, (l, r) in tree.children.items()
+        },
+        "sliced_inds": [str(ix) for ix in tree.sliced_inds],
+        **meta,
+    }
+    if hasattr(filename, "write"):
+        json.dump(data, filename)
+    else:
+        with open(filename, "w") as f:
+            json.dump(data, f)
+
+
+def load_tree(filename, inputs, output, size_dict, check_hash=True):
+    """Rebuild a saved contraction tree against the given instance.
+
+    Raises ``ValueError`` if the instance's content hash doesn't match
+    the one stored (``check_hash=False`` skips this).
+    """
+    from ..tree import ContractionTree
+
+    if hasattr(filename, "read"):
+        data = json.load(filename)
+    else:
+        with open(filename) as f:
+            data = json.load(f)
+    if check_hash:
+        h = hash_contraction_b(inputs, output, size_dict)
+        if h != data["hash_b"]:
+            raise ValueError(
+                "Saved tree was built for a different instance "
+                f"(hash {data['hash_b'][:12]} != {h[:12]})."
+            )
+    tree = ContractionTree(inputs, output, size_dict)
+    tree.children = {
+        int(p): (int(lr[0]), int(lr[1]))
+        for p, lr in data["children"].items()
+    }
+    for ix in data["sliced_inds"]:
+        tree.remove_ind_(ix)
+    return tree
+
+
 def hash_contraction_b(inputs, output, size_dict):
     """Permutation-invariant content hash: invariant to both input order
     and index relabelling, via Weisfeiler-Lehman-style refinement of the
