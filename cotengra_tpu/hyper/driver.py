@@ -585,3 +585,41 @@ class ReusableHyperOptimizer(PathOptimizer):
 
     def __len__(self):
         return len(self._cache)
+
+
+class ReusableRandomGreedyOptimizer(ReusableHyperOptimizer):
+    """Content-addressed cache around the batched random-greedy search
+    (reference ``path_basic.py:1638``): same disk-cache/overwrite/hash
+    machinery as :class:`ReusableHyperOptimizer`, but each miss runs a
+    :class:`~cotengra_tpu.pathfinders.basic.RandomGreedyOptimizer`.
+    """
+
+    def _search_and_pack(self, inputs, output, size_dict):
+        from ..pathfinders.basic import RandomGreedyOptimizer
+
+        opt = RandomGreedyOptimizer(**self.opt_kwargs)
+        self.last_opt = opt
+        ssa_path = opt.ssa_path(inputs, output, size_dict)
+        tree = ContractionTree.from_path(
+            inputs, output, size_dict, ssa_path=ssa_path
+        )
+        return {
+            "ssa_path": ssa_path,
+            "sliced_inds": (),
+            "score": opt.best_flops,
+            "flops": opt.best_flops,
+        }, tree
+
+    def hash_query(self, inputs, output, size_dict):
+        if self.hash_method == "b":
+            from ..utils.io import hash_contraction_b
+
+            return hash_contraction_b(inputs, output, size_dict) + "-rg"
+        return hash_contraction(
+            inputs, output, size_dict, minimize="flops-rg"
+        )
+
+    def _unpack(self, record, inputs, output, size_dict):
+        return ContractionTree.from_path(
+            inputs, output, size_dict, ssa_path=record["ssa_path"]
+        )

@@ -97,10 +97,20 @@ class AutoOptimizer:
         return self.search(inputs, output, size_dict).get_path()
 
 
+class AutoHQOptimizer(AutoOptimizer):
+    """Auto optimizer tuned for harder/repeated contractions: higher
+    optimal cutoff and a slower stopping rate (reference
+    ``presets.py:134-152``)."""
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("optimal_cutoff", 650)
+        kwargs.setdefault("max_time", "rate:1e8")
+        kwargs.setdefault("max_repeats", 128)
+        super().__init__(**kwargs)
+
+
 auto_optimize = AutoOptimizer(optimal_cutoff=250, max_time="rate:1e9")
-auto_hq_optimize = AutoOptimizer(
-    optimal_cutoff=650, max_time="rate:1e8", max_repeats=128
-)
+auto_hq_optimize = AutoHQOptimizer()
 
 
 def _random_greedy(inputs, output, size_dict, ntrials=32, **kwargs):

@@ -1645,6 +1645,46 @@ def ssa_to_linear(ssa_path, n=None):
     return tuple(out)
 
 
+def edge_path_to_ssa(edge_path, inputs):
+    """Convert an edge-elimination order into an SSA path (reference
+    ``path_basic.py:911``): contracting an edge pairwise-merges, in SSA
+    order, every current term containing that index.
+    """
+    inputs = [frozenset(term) for term in inputs]
+    n = len(inputs)
+    # live: ssa id -> index set
+    live = dict(enumerate(inputs))
+    ssa = n
+    path = []
+    for ix in edge_path:
+        group = sorted(i for i, term in live.items() if ix in term)
+        while len(group) >= 2:
+            a, b = group[0], group[1]
+            path.append((a, b))
+            merged = live.pop(a) | live.pop(b)
+            live[ssa] = merged
+            group = [ssa] + group[2:]
+            ssa += 1
+    # any disconnected remainder: contract left to right
+    rest = sorted(live)
+    while len(rest) >= 2:
+        a, b = rest[0], rest[1]
+        path.append((a, b))
+        live[ssa] = live.pop(a) | live.pop(b)
+        rest = [s for s in rest[2:]] + [ssa]
+        rest.sort()
+        ssa += 1
+    return tuple(path)
+
+
+def edge_path_to_linear(edge_path, inputs):
+    """Convert an edge-elimination order into a linear path (reference
+    ``path_basic.py:969``)."""
+    return ssa_to_linear(
+        edge_path_to_ssa(edge_path, inputs), len(inputs)
+    )
+
+
 def is_ssa_path(path, n=None):
     """Heuristically detect whether ``path`` is in SSA form: ids are never
     reused in SSA form, and may exceed ``n - 1``.

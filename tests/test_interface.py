@@ -128,3 +128,50 @@ def test_register_preset_custom():
         inputs, output, size_dict=size_dict, optimize="my-test-preset"
     )
     assert tree.is_complete()
+
+
+def test_reference_compat_exports():
+    """Reference users find the same top-level names (VERDICT parity)."""
+    import cotengra_tpu as ctg
+
+    assert ctg.contract is ctg.einsum
+    assert ctg.contract_expression is ctg.einsum_expression
+    inputs, output, shapes, size_dict = ctg.rand_equation(10, 3, seed=0)
+    path = ctg.hyper_optimize(inputs, output, size_dict, max_repeats=4)
+    tree = ctg.ContractionTree.from_path(
+        inputs, output, size_dict, path=path
+    )
+    assert tree.is_complete()
+    for fn in (ctg.greedy_optimize, ctg.optimal_outer_optimize):
+        t = ctg.ContractionTree.from_path(
+            inputs, output, size_dict,
+            path=fn(inputs, output, size_dict),
+        )
+        assert t.is_complete()
+    assert ctg.AutoHQOptimizer().optimal_cutoff == 650
+
+
+def test_edge_path_converters():
+    import cotengra_tpu as ctg
+
+    inputs = [("a", "b"), ("b", "c"), ("a", "c")]
+    ssa = ctg.edge_path_to_ssa(["a", "b", "c"], inputs)
+    assert ssa == ((0, 2), (1, 3))
+    lin = ctg.edge_path_to_linear(["a", "b", "c"], inputs)
+    tree = ctg.ContractionTree.from_path(
+        inputs, (), {"a": 2, "b": 3, "c": 4}, path=lin
+    )
+    assert tree.is_complete()
+
+
+def test_reusable_random_greedy(tmp_path):
+    import cotengra_tpu as ctg
+
+    inputs, output, shapes, size_dict = ctg.rand_equation(12, 3, seed=3)
+    opt = ctg.ReusableRandomGreedyOptimizer(
+        directory=str(tmp_path / "rg"), max_repeats=8
+    )
+    t1 = opt.search(inputs, output, size_dict)
+    assert len(opt) == 1
+    t2 = opt.search(inputs, output, size_dict)  # disk-cache hit
+    assert t2.total_flops() == t1.total_flops()
