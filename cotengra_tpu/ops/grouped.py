@@ -1260,32 +1260,70 @@ def build_grouped_core_fn(
     return core
 
 
-def _select_input(a, axes, meta, slice_ids, axis_offset=0):
-    """Select the sliced view(s) of raw input ``a`` for a vector of slice
-    ids. Dynamically sliced inputs come back with a leading batch axis;
-    projected-only inputs come back unbatched (slice-invariant).
-    ``axis_offset`` shifts the recorded axes (plane-stacked inputs carry
-    a leading re/im axis).
-    """
+def _digit_columns(meta):
+    """Stable column order for the mixed-radix digits of a flat slice
+    id: one column per non-projected sliced index."""
+    return [ix for ix, (_, _, project) in meta.items() if project is None]
 
-    def pick(sid):
+
+def _ids_to_digits(slice_ids, meta):
+    """Decode flat slice ids into an ``(n, ncols)`` int32 digit matrix.
+
+    Concrete ids decode host-side with exact Python big-int arithmetic,
+    so the flat id space may exceed int32/int64 (deep instances slice
+    2^39+ ways). Traced ids fall back to in-jit stride math, valid
+    whenever the individual strides fit int32.
+    """
+    cols = _digit_columns(meta)
+    if isinstance(slice_ids, jax.core.Tracer):
+        sid = slice_ids.astype(jnp.int32)
+        digs = []
+        for ix in cols:
+            stride, size, _ = meta[ix]
+            if stride > 2**31 - 1:
+                # any int32-representable id has digit 0 here
+                digs.append(jnp.zeros_like(sid))
+            else:
+                digs.append((sid // stride) % size)
+        return jnp.stack(digs, axis=-1)
+    import numpy as np
+
+    ids = [int(s) for s in np.asarray(slice_ids).reshape(-1)]
+    digs = np.empty((len(ids), len(cols)), np.int32)
+    for j, ix in enumerate(cols):
+        stride, size, _ = meta[ix]
+        digs[:, j] = [(s // stride) % size for s in ids]
+    return jnp.asarray(digs)
+
+
+def _select_input(a, axes, meta, digits, axis_offset=0):
+    """Select the sliced view(s) of raw input ``a`` for a matrix of
+    slice-id digits (see ``_ids_to_digits``). Dynamically sliced inputs
+    come back with a leading batch axis; projected-only inputs come back
+    unbatched (slice-invariant). ``axis_offset`` shifts the recorded
+    axes (plane-stacked inputs carry a leading re/im axis).
+    """
+    cols = _digit_columns(meta)
+    col_of = {ix: j for j, ix in enumerate(cols)}
+
+    def pick(dig_row):
         b = a
         for ax, ix in axes:
-            stride, size, project = meta[ix]
+            _, _, project = meta[ix]
             if project is not None:
                 b = jax.lax.index_in_dim(
                     b, project, axis=ax + axis_offset, keepdims=False
                 )
             else:
-                idx = (sid // stride) % size
                 b = jax.lax.dynamic_index_in_dim(
-                    b, idx, axis=ax + axis_offset, keepdims=False
+                    b, dig_row[col_of[ix]], axis=ax + axis_offset,
+                    keepdims=False,
                 )
         return b
 
     if any(meta[ix][2] is None for _, ix in axes):
-        return jax.vmap(pick)(slice_ids)
-    return pick(jnp.zeros((), jnp.int32))
+        return jax.vmap(pick)(digits)
+    return pick(jnp.zeros((max(len(cols), 1),), jnp.int32))
 
 
 def to_plane_array(a):
@@ -1451,14 +1489,14 @@ def make_grouped_staged_contractor(
 
             else:
 
-                def outer(carry, slice_ids):
+                def outer(carry, digits):
                     sel = []
                     for i, a in zip(carry_ids, carry):
                         if i in batched:
                             sel.append(
                                 _select_input(
                                     a, per_input[i], meta,
-                                    slice_ids, ax_off,
+                                    digits, ax_off,
                                 )
                             )
                             continue
@@ -1471,7 +1509,7 @@ def make_grouped_staged_contractor(
                         )
                         sel.append(
                             jnp.broadcast_to(
-                                b, slice_ids.shape + b.shape
+                                b, digits.shape[:1] + b.shape
                             )
                         )
                     return jax.lax.map(fn, tuple(sel))
@@ -1497,9 +1535,9 @@ def make_grouped_staged_contractor(
 
         # first stage additionally performs the slice selection from the
         # RAW input arrays, inside the same jitted program
-        def outer(carry, slice_ids):
+        def outer(carry, digits):
             sel = tuple(
-                _select_input(a, per_input[i], meta, slice_ids, ax_off)
+                _select_input(a, per_input[i], meta, digits, ax_off)
                 if per_input[i]
                 else a
                 for i, a in zip(carry_ids, carry)
@@ -1613,12 +1651,16 @@ def make_grouped_staged_contractor(
     if slice_batch:
 
         def fn(arrays, slice_ids):
-            slice_ids = jnp.asarray(slice_ids, jnp.int32)
+            # decode flat ids to digits (host-side exact for concrete
+            # ids - the flat id space may exceed int64 on deep
+            # instances)
+            digits = _ids_to_digits(slice_ids, meta)
+            nb = digits.shape[0]
             carry = tuple(arrays)
             exponent = None
             for k, (sf, carry_out) in enumerate(stages):
                 if k == 0:
-                    res = sf(carry, slice_ids)
+                    res = sf(carry, digits)
                 else:
                     res = sf(carry, exponent) if strip_exponent else sf(
                         carry
@@ -1632,12 +1674,10 @@ def make_grouped_staged_contractor(
                 result = jax.vmap(_post)(flat)
             else:
                 r = _post(flat)
-                result = jnp.broadcast_to(
-                    r, slice_ids.shape + r.shape
-                )
+                result = jnp.broadcast_to(r, (nb,) + r.shape)
             if strip_exponent:
                 if exponent is None:
-                    exponent = jnp.zeros(slice_ids.shape, jnp.float32)
+                    exponent = jnp.zeros((nb,), jnp.float32)
                 return result, exponent
             return result
 
