@@ -82,22 +82,36 @@ def main():
     # deep instances (m=20) need the expensive slicing-aware hyper
     # search (~30 min on one core); its winning plan is checked in under
     # plans/ and validated against the instance content hash on load
-    plan_file = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "plans",
-        f"sycamore53_m{m}_t{target_size.bit_length() - 1}.json",
+    plan_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "plans"
     )
+    tgt_log = target_size.bit_length() - 1
+    # exact-target plan first, then any higher-target plan (sliced down)
+    candidates = [
+        os.path.join(plan_dir, f"sycamore53_m{m}_t{t}.json")
+        for t in [tgt_log] + list(range(tgt_log + 1, 33))
+    ]
     tree = None
-    if os.path.exists(plan_file) and not int(
-        os.environ.get("BENCH_REPLAN", "0")
-    ):
+    if not int(os.environ.get("BENCH_REPLAN", "0")):
         from cotengra_tpu.utils.io import load_tree
 
-        try:
-            tree = load_tree(plan_file, inputs, output, size_dict)
-            print(f"# plan loaded from {plan_file}", file=sys.stderr)
-        except ValueError as e:
-            print(f"# plan cache mismatch: {e}", file=sys.stderr)
+        for plan_file in candidates:
+            if not os.path.exists(plan_file):
+                continue
+            try:
+                tree = load_tree(plan_file, inputs, output, size_dict)
+                print(
+                    f"# plan loaded from {plan_file}", file=sys.stderr
+                )
+            except ValueError as e:
+                print(f"# plan cache mismatch: {e}", file=sys.stderr)
+                continue
+            if tree.max_size() > target_size:
+                tree.slice_and_reconfigure_(
+                    target_size,
+                    reconf_opts={"subtree_size": 6, "maxiter": 30},
+                )
+            break
 
     if tree is None:
         # winning recipe (beats reference rg-512 and hyper-128 on this
