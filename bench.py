@@ -180,12 +180,14 @@ def main():
         f"split+plane_io, slice_batch={sb}, mode={mode})",
         file=sys.stderr,
     )
+    pdt = os.environ.get("BENCH_PLANE_DTYPE")  # e.g. "bfloat16"
     core = make_grouped_staged_contractor(
         tree,
         stage_size=ss,
         fuse_gates=fg,
         split_complex=True,
         plane_io=True,
+        plane_dtype=jnp.dtype(pdt) if pdt else None,
         slice_batch=sb if nsl > 1 else None,
         slice_batch_mode=mode,
     )

@@ -581,10 +581,14 @@ def _build_pallas_fn(key, dtype_name, interpret):
         f_refs = refs[ngates:ngates + nfield]
         x_ref = refs[ngates + nfield]
         o_ref = refs[ngates + nfield + 1]
-        t = x_ref[:]
+        # sub-32-bit storage (bf16 planes) upcasts for compute:
+        # pltpu.roll only supports 32-bit data, and the MACs accumulate
+        # better; f32/f64 storage computes at its own precision
+        cdt = jnp.float32 if dtype.itemsize < 4 else dtype
+        t = x_ref[:].astype(cdt)
         tr, ti = t[0], t[1]
         for gi, g in enumerate(gates):
-            yv = y_refs[gi][:]
+            yv = y_refs[gi][:].astype(cdt)
             yr, yi = yv[0], yv[1]          # (K, N)
             mode = g[0]
             _, pos, kdims_dim, ny_dims_dim, first, roll_axes = g[:6]
@@ -631,7 +635,7 @@ def _build_pallas_fn(key, dtype_name, interpret):
                 offsets, _, _ = _field_plan(g)
                 S = len(offsets)
                 # fields arrive pre-tiled to the full (r2, c_blk) tile
-                fv = f_refs[field_slot[gi]][:]
+                fv = f_refs[field_slot[gi]][:].astype(cdt)
 
                 def fld(plane, fidx):
                     return fv[plane, fidx]
