@@ -205,8 +205,9 @@ def register_hyper_optlib(name, cls):
 
 def get_optlib(name):
     if name == "auto":
-        # preference ladder (reference: optuna -> cmaes -> sbplx)
-        for cand in ("optuna", "evo"):
+        # preference ladder (reference ``hyper.py:29-41``); cmaes and
+        # sbplx are now real in-house samplers so the chain matches
+        for cand in ("optuna", "cmaes", "sbplx"):
             if cand in _OPTLIB_REGISTRY:
                 name = cand
                 break
