@@ -338,6 +338,32 @@ def plan_grouped(
         storage[step.out] = out_order
         return True
 
+    # consumer lookup for the one-step layout lookahead: every
+    # intermediate has exactly one consuming step in a tree
+    consumer = {}
+    for st in steps:
+        if isinstance(st, SingleStep):
+            consumer[st.inp] = None
+        else:
+            consumer[st.l] = st
+            consumer[st.r] = st
+
+    def _consumer_role_fn(out_id):
+        """0/1/2 role of a leg at the consuming step (batch /
+        contracted / free), or None when unknowable."""
+        st = consumer.get(out_id)
+        if st is None:
+            return None
+        other = set(st.r_legs if st.l == out_id else st.l_legs)
+        cout = set(st.out_legs)
+
+        def role(ix):
+            if ix in other:
+                return 0 if ix in cout else 1
+            return 2
+
+        return role
+
     for si, step in enumerate(steps):
         if isinstance(step, SingleStep):
             close_chain()
@@ -426,6 +452,38 @@ def plan_grouped(
 
         def plan_badness(plan, total):
             return _plan_badness(plan, total)
+
+        # one-step layout lookahead: the internal order of the free
+        # groups (m, ny) in the produced tensor is ours to choose.
+        # Clustering those legs by their role at the CONSUMING step
+        # (batch / contracted / free there) turns the consumer's
+        # realignment into a few large blocks instead of a fine
+        # interleave with small (heavily padded) minor blocks. Adopted
+        # only when the summed producer+consumer padding badness drops.
+        if B == 1 and _LAYOUT_LOOKAHEAD:
+            crole = _consumer_role_fn(step.out)
+            if crole is not None:
+                m_cl = sorted(m, key=crole)
+                ny_cl = sorted(ny, key=crole)
+                if m_cl != m or ny_cl != ny:
+                    osize = prod(
+                        sizes[ix] for ix in b + ny + m
+                    )
+
+                    def tot_cost(mm, nn):
+                        xp = _block_plan(
+                            x_order, tuple(c) + tuple(mm), sizes
+                        )
+                        oo = tuple(b) + tuple(nn) + tuple(mm)
+                        cp = _block_plan(
+                            oo, tuple(sorted(oo, key=crole)), sizes
+                        )
+                        bx = _plan_badness(xp, M * K)
+                        bc = _plan_badness(cp, osize)
+                        return (bx[0] + bc[0], bx[1] + bc[1])
+
+                    if tot_cost(m_cl, ny_cl) < tot_cost(m, ny):
+                        m, ny = m_cl, ny_cl
 
         def choose_x_layout(allow_mc):
             """Pick (c+m) or (m+c) storage for x by padding badness of
@@ -528,6 +586,15 @@ MAX_GATE_SIZE = 256
 # the in-place pallas path handles larger "gates" (e.g. K=8, N=32
 # fused-qubit blocks); its own MAX_GATE_COMBOS bounds kernel unrolling
 INPLACE_MAX_GATE_SIZE = 2048
+
+# one-step layout lookahead in plan_grouped (see there). EXPERIMENTAL
+# and off by default: the single-plan badness proxy mispredicts the
+# compiler's real padding choices on the bench (a 64x-padded realign
+# appeared downstream) - needs a real end-to-end padded-traffic model
+# before it can be trusted.
+_LAYOUT_LOOKAHEAD = bool(
+    int(os.environ.get("CTG_LAYOUT_LOOKAHEAD", "0"))
+)
 
 # per-chain VPU guard: kernel sweep count per chain. Splitting chains
 # does NOT reduce total VPU work (it only adds HBM passes - measured
