@@ -225,3 +225,26 @@ def test_grouped_staged_plane_io(batched):
         out = pcore(*sl)
         got = np.asarray(out[0]) + 1j * np.asarray(out[1])
         assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_ids_to_digits_beyond_int64():
+    """Digit decoding is exact for flat id spaces beyond int64
+    (m=20 slices 2^39+ ways)."""
+    import jax.numpy as jnp
+
+    from cotengra_tpu.ops.grouped import _digit_columns, _ids_to_digits
+
+    # synthetic meta: 5 indices of size 4, strides spanning 2^80
+    meta = {
+        f"i{k}": (4 ** (20 * k), 4, None) for k in range(5)
+    }
+    ids = [0, 1, 4 ** 20, 3 * 4 ** 80 + 2 * 4 ** 20 + 1]
+    digs = _ids_to_digits(jnp.asarray([0]), meta)  # traced-safe shape
+    assert digs.shape[1] == len(_digit_columns(meta))
+    import numpy as np
+
+    digs = np.asarray(_ids_to_digits(np.asarray(ids, object), meta))
+    assert list(digs[0]) == [0, 0, 0, 0, 0]
+    assert list(digs[1]) == [1, 0, 0, 0, 0]
+    assert list(digs[2]) == [0, 1, 0, 0, 0]
+    assert list(digs[3]) == [1, 2, 0, 0, 3]

@@ -340,3 +340,37 @@ def test_sbplx_is_not_a_bare_alias():
     assert get_optlib("sbplx") is SubplexOptLib
     assert get_optlib("nm") is WholeNelderMeadOptLib
     assert SubplexOptLib is not WholeNelderMeadOptLib
+
+
+def test_evolution_optlib_converges():
+    """The sses-analog evolution sampler homes in on a smooth
+    landscape's optimum (deterministic with the fixed seed)."""
+    from cotengra_tpu.hyper.space import EvolutionOptLib
+
+    space = {
+        f"p{i}": {"type": "FLOAT", "min": 0.0, "max": 1.0}
+        for i in range(4)
+    }
+    at = {"p0": 0.2, "p1": 0.8, "p2": 0.4, "p3": 0.6}
+    lib = EvolutionOptLib(["m"], {"m": space}, {"m": {}}, seed=0)
+    best = math.inf
+    for _ in range(250):
+        m, params = lib.ask()
+        s = sum((params[k] - at[k]) ** 2 for k in at)
+        best = min(best, s)
+        lib.tell(m, params, s)
+    assert best < 0.05
+    # elite pool is bounded and sorted best-first
+    pop = lib.pop["m"]
+    assert len(pop) <= lib.popsize
+    assert pop == sorted(pop, key=lambda sp: sp[0])
+
+
+def test_evolution_optlib_ignores_inf_scores():
+    from cotengra_tpu.hyper.space import EvolutionOptLib
+
+    space = {"p": {"type": "FLOAT", "min": 0.0, "max": 1.0}}
+    lib = EvolutionOptLib(["m"], {"m": space}, {"m": {}}, seed=0)
+    m, params = lib.ask()
+    lib.tell(m, params, float("inf"))
+    assert lib.pop["m"] == []  # failed trials never enter the elite
