@@ -1,0 +1,769 @@
+"""Windowed-matmul gate execution: small-tensor absorptions as MXU
+dot_generals over contiguous storage windows - zero relayouts, no
+custom kernels.
+
+The dominant step type in circuit-like tensor networks is "absorb a
+small gate y into a huge tensor x". Round 2 executed chains of these
+with an in-place pallas kernel (``pallas_gates.py``): bandwidth-optimal
+(one HBM round trip per chain) but VPU-bound - measured ~5x slower than
+this chip's achievable matmul pass rate - and each distinct chain paid
+seconds-to-minutes of client-side Mosaic lowering.
+
+Measured on the v5e (scratch/micro_xla*.py): a plain XLA
+``dot_general`` contracting a contiguous *window* of the flat storage
+against a small dense operator runs at 580-660 GB/s effective (vs the
+163 GB/s pallas-DMA ceiling and 296-390 GB/s elementwise), with the
+identity-inflation flops absorbed by the MXU. So instead of preserving
+layout and paying VPU arithmetic, we:
+
+- keep every tensor flat and *plane-major* ``(2, axes...)`` (split
+  complex);
+- pick a contiguous span ``[i, j)`` of the stored axis order covering a
+  cluster of gate axes (the *window*, size ``S = prod(sizes[i:j])``,
+  capped) - untouched axes inside the span are carried by identity
+  factors in the operator;
+- build the dense window operator ``W (S_in, S_out)`` on device from
+  the gate tensors (tiny einsums), complex-embedded with the plane axis
+  into ``W4 (2, S_out, 2, S_in)``;
+- apply with ONE dot_general, in one of three forms (all leave the
+  result plane-major, with the window's output axes moved to the
+  FRONT of the stored order - tracked host-side, never transposed):
+
+  * prefix  (window starts at axis 0):   ``(2S', 2S) @ (2S, M)``
+  * suffix  (window ends at last axis):  ``dg(W4, x(2, A1, S))``
+  * interior:                            ``dg(W4, x(2, A1, S, A2))``
+
+  Measured 3.3-3.7 ms, 3.6 ms, 7.2 ms respectively per 1.07 GB pass.
+
+Because consecutive gate layers in circuits revisit the same axes, the
+window-to-front rotation makes later clusters prefix windows (the fast
+form) - a self-optimizing layout.
+
+No reference analog: cotengra delegates pairwise execution to array
+backends (``/root/reference/cotengra/contract.py:718-837``); this module
+exists because of TPU tiled-layout economics (relayouts pad up to 64x,
+while MXU flops are nearly free next to HBM traffic).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.misc import prod
+
+# window caps: identity-inflation flops scale with S (2*S flops per
+# stored scalar); ~1024-2048 balances MXU time against the HBM pass
+S_MAX = 1024
+# absolute cap (window-size product): the dense operator is
+# 4*S_in*S_out*4 bytes, built on device per pass (268 MB at 4096 -
+# only chosen when nothing smaller is feasible; the cost model
+# charges for operator size)
+S_HARD = 4096
+# when splitting scattered gate axes into multiple windows: merge two
+# neighboring windows when the gap between them is at most this big
+GAP_MERGE = 8
+# merge neighbors unconditionally when the joined span stays this small
+JOIN_SMALL = 256
+# max disjoint windows contracted by one dot_general
+MAX_WINDOWS = 4
+# minimum window OUTPUT size for suffix/interior forms: S' becomes the
+# result's minor dim - below ~128 lanes the output buffer pads
+OUT_MIN = 128
+# interior form needs a healthy trailing dim too (it is the operand's
+# minor dim); below this, extend the window to the tail instead
+A2_MIN = 128
+# gates this large go through the ordinary pairwise path
+MAX_GATE_SIZE = 2048
+# only bother for big tensors
+MIN_TENSOR_SIZE = 2 ** 16
+# max gates accumulated into one open chain before forced close
+MAX_CHAIN_GATES = 16
+# max gates composed into one cluster operator
+MAX_CLUSTER_GATES = 8
+# rank cap for the expansion einsum output (compile-time guard)
+MAX_EXPAND_RANK = 16
+
+
+class WindowRec:
+    """One planned windowed-matmul step (a cluster of gates)."""
+
+    __slots__ = (
+        "x_id", "out_id",
+        "gates",          # tuple of (y_id, y_plan, k_dims, n_dims)
+        "recipe",         # static compose/expand program (see below)
+        "form",           # "prefix" | "suffix" | "interior" | "multi"
+        "A1", "S_in", "A2", "S_out",
+        "xdims",          # multi: full reshape dims (A0, S1, A1, ...)
+        "sdims",          # multi: per-window S products, in order
+        "out_order",      # stored order of the result (no plane)
+        "out_shape",      # logical shape of the result
+    )
+
+
+def _positions(order, names):
+    pos = {ix: i for i, ix in enumerate(order)}
+    return [pos[ix] for ix in names]
+
+
+def _substitute(win_axes, win_dims, c_legs, ny_legs, sizes):
+    """Replace ``c_legs`` in the window by ``ny_legs`` (all ny at the
+    first contracted position). Returns new (axes, dims)."""
+    cset = set(c_legs)
+    first = min(i for i, a in enumerate(win_axes) if a in cset)
+    axes, dims = [], []
+    for i, (a, d) in enumerate(zip(win_axes, win_dims)):
+        if i == first:
+            axes.extend(ny_legs)
+            dims.extend(sizes[n] for n in ny_legs)
+        if a in cset:
+            continue
+        axes.append(a)
+        dims.append(d)
+    return axes, dims
+
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+class _LetterOverflow(Exception):
+    pass
+
+
+def _build_recipe(win_axes0, win_dims0, cluster, sizes):
+    """Static program for composing the cluster's gates in their joint
+    small space and expanding to the window.
+
+    Returns ``(recipe, win_axes_out, win_dims_out)`` or ``(None, why,
+    None)``. ``recipe`` is a dict consumed by :func:`build_w4`:
+
+    - ``apply``: list of per-gate ``(j_sub, y_sub, out_sub, k_dims,
+      n_dims)`` einsum fragments composing the joint operator ``J``
+      (axes = original-in axes then current-out axes);
+    - ``expand``: ``(operand_subs, out_sub, eye_dims, j_in_rank,
+      j_out_rank)`` final expansion to the full window;
+    - ``S_in``, ``S_out``.
+    """
+    # joint operator state: in axes (original) / cur axes (evolving)
+    j_in = []      # axis names
+    j_cur = []
+    letter_of = {}
+    counter = [0]
+
+    def fresh():
+        if counter[0] >= len(_LETTERS):
+            raise _LetterOverflow()
+        ch = _LETTERS[counter[0]]
+        counter[0] += 1
+        return ch
+
+    apply_prog = []
+    for (y_id, y_plan, c_legs, ny_legs, k_dims, n_dims) in cluster:
+        j_sub = "".join(
+            letter_of[a] for a in j_in
+        ) + "".join(letter_of[a] for a in j_cur)
+        y_letters = []
+        new_in = []
+        contracted = []
+        for a in c_legs:
+            if a in j_cur:
+                y_letters.append(letter_of[a])
+                contracted.append(a)
+            else:
+                # brand-new original axis: same letter becomes a new
+                # J input axis
+                ch = fresh()
+                letter_of[a] = ch
+                y_letters.append(ch)
+                new_in.append(a)
+        n_letters = []
+        for a in ny_legs:
+            ch = fresh()
+            letter_of[a] = ch
+            n_letters.append(ch)
+        y_sub = "".join(y_letters) + "".join(n_letters)
+        j_in = j_in + new_in
+        j_cur = [a for a in j_cur if a not in set(contracted)] + list(
+            ny_legs
+        )
+        out_sub = "".join(letter_of[a] for a in j_in) + "".join(
+            letter_of[a] for a in j_cur
+        )
+        if len(set(out_sub)) != len(out_sub):
+            return None, "duplicate joint axis", None
+        apply_prog.append((j_sub, y_sub, out_sub, k_dims, n_dims))
+
+    # window substitution to get the output axis order
+    win_axes, win_dims = list(win_axes0), list(win_dims0)
+    for (y_id, y_plan, c_legs, ny_legs, k_dims, n_dims) in cluster:
+        win_axes, win_dims = _substitute(
+            win_axes, win_dims, c_legs, ny_legs, sizes
+        )
+
+    # expansion to the full window is done at runtime with one-hot
+    # matmuls + a rest-digit equality mask (see build_w4) - all 2-D,
+    # large-minor-dim ops. (A naive rank-2w expansion einsum materializes
+    # a tiny-minor-dim tensor that the TPU pads up to 64x - measured as
+    # 70% of slice time.) Precompute the static index arrays here.
+    rest_axes = [a for a in win_axes0 if a not in set(j_in)]
+    if any(a not in win_axes for a in rest_axes):
+        return None, "untouched axis vanished", None
+    idx_in, rest_in = _index_arrays(
+        list(win_axes0), list(win_dims0), j_in, rest_axes, sizes
+    )
+    idx_out, rest_out = _index_arrays(
+        list(win_axes), list(win_dims), j_cur, rest_axes, sizes
+    )
+    kj = prod(sizes[a] for a in j_in) if j_in else 1
+    nj = prod(sizes[a] for a in j_cur) if j_cur else 1
+    recipe = {
+        "apply": apply_prog,
+        "expand": {
+            "idx_in": idx_in,
+            "rest_in": rest_in,
+            "idx_out": idx_out,
+            "rest_out": rest_out,
+            "kj": kj,
+            "nj": nj,
+        },
+        "S_in": prod(win_dims0) if win_dims0 else 1,
+        "S_out": prod(win_dims) if win_dims else 1,
+    }
+    return recipe, win_axes, win_dims
+
+
+def _index_arrays(axes, dims, j_axes, rest_axes, sizes):
+    """For each flat index over ``(axes, dims)`` (row-major): the flat
+    joint-operator index (mixed radix over ``j_axes`` in that order)
+    and the flat rest key (mixed radix over ``rest_axes``)."""
+    import numpy as np
+
+    S = prod(dims) if dims else 1
+    strides = {}
+    s = 1
+    for a, d in zip(reversed(axes), reversed(dims)):
+        strides[a] = s
+        s *= d
+    i = np.arange(S, dtype=np.int64)
+    jv = np.zeros(S, np.int64)
+    for a in j_axes:
+        d = sizes[a]
+        jv = jv * d + (i // strides[a]) % d
+    rv = np.zeros(S, np.int64)
+    for a in rest_axes:
+        d = sizes[a]
+        rv = rv * d + (i // strides[a]) % d
+    return jv.astype(np.int32), rv.astype(np.int32)
+
+
+def build_w4(recipe, ys, dtype):
+    """Build the complex-embedded window operator on device.
+
+    ``ys``: per-gate ``(2, K, N)`` plane arrays (K enumerates c_legs,
+    N enumerates ny_legs). Returns ``W4 (2, S_out, 2, S_in)`` real.
+    """
+    # compose in f32 (or f64 when the planes are f64): the operator is
+    # tiny, so full precision here is free even under bf16 planes
+    cdt = jnp.float64 if jnp.dtype(dtype) == jnp.float64 else \
+        jnp.float32
+    jr = ji = None
+    for (j_sub, y_sub, out_sub, k_dims, n_dims), y in zip(
+        recipe["apply"], ys
+    ):
+        y4r = y[0].reshape(tuple(k_dims) + tuple(n_dims)).astype(cdt)
+        y4i = y[1].reshape(tuple(k_dims) + tuple(n_dims)).astype(cdt)
+        if jr is None:
+            # first gate: J = y (j_sub is empty)
+            jr, ji = y4r, y4i
+            continue
+        eq = f"{j_sub},{y_sub}->{out_sub}"
+        nr = jnp.einsum(eq, jr, y4r) - jnp.einsum(eq, ji, y4i)
+        ni = jnp.einsum(eq, jr, y4i) + jnp.einsum(eq, ji, y4r)
+        jr, ji = nr, ni
+    ex = recipe["expand"]
+    S_in, S_out = recipe["S_in"], recipe["S_out"]
+    rest_in = jnp.asarray(ex["rest_in"])
+    rest_out = jnp.asarray(ex["rest_out"])
+    # rest-digit equality mask: W[i, o] is nonzero only where the
+    # untouched window axes agree
+    mask = (rest_in[:, None] == rest_out[None, :]).astype(cdt)
+    if jr is None:
+        # pure-rotation operator (no gates): the mask IS the (permuted)
+        # identity over the window
+        wr = mask
+        wi = None
+    else:
+        kj, nj = ex["kj"], ex["nj"]
+        jr2 = jr.reshape(kj, nj)
+        ji2 = ji.reshape(kj, nj)
+        idx_in = jnp.asarray(ex["idx_in"])
+        idx_out = jnp.asarray(ex["idx_out"])
+        # expand J to the window with one-hot matmuls (2-D, big minor
+        # dims, MXU) instead of a high-rank einsum whose tiny-dim
+        # output would be tile-padded up to 64x
+        oh_in = (
+            jnp.arange(kj, dtype=jnp.int32)[None, :]
+            == idx_in[:, None]
+        ).astype(cdt)  # (S_in, kj)
+        oh_out = (
+            jnp.arange(nj, dtype=jnp.int32)[None, :]
+            == idx_out[:, None]
+        ).astype(cdt)  # (S_out, nj)
+        wr = (oh_in @ (jr2 @ oh_out.T)) * mask
+        wi = (oh_in @ (ji2 @ oh_out.T)) * mask
+    # W4[p_out, s_out, p_in, s_in]: [[Wr^T, -Wi^T], [Wi^T, Wr^T]]
+    if wi is None:
+        z = jnp.zeros_like(wr)
+        w4 = jnp.stack(
+            [jnp.stack([wr.T, z]), jnp.stack([z, wr.T])]
+        )
+    else:
+        w4 = jnp.stack(
+            [jnp.stack([wr.T, -wi.T]), jnp.stack([wi.T, wr.T])]
+        )  # (2_out, 2_in, S_out, S_in)
+    w4 = jnp.transpose(w4, (0, 2, 1, 3))
+    return w4.astype(dtype)
+
+
+def exec_window(rec, temps, shapes, precision, plane_dtype):
+    """Execute one WindowRec over the plane-major flat temps."""
+    ys = []
+    from .grouped import _apply_block_plan_split
+
+    for (y_id, y_plan, K, N) in rec.gates:
+        yf = _apply_block_plan_split(temps[y_id], y_plan)
+        ys.append(yf.reshape(2, K, N))
+    w4 = build_w4(rec.recipe, ys, plane_dtype)
+    # accumulate in f32 even under bf16 planes (the caller casts the
+    # stored result back down)
+    pet = (
+        jnp.float32
+        if jnp.dtype(plane_dtype).itemsize < 4
+        else jnp.dtype(plane_dtype)
+    )
+    plane_dtype = pet
+    xf = temps[rec.x_id]
+    A1, S_in, A2, S_out = rec.A1, rec.S_in, rec.A2, rec.S_out
+    if rec.form == "prefix":
+        x2 = xf.reshape(2 * S_in, A2)
+        w2 = w4.reshape(2 * S_out, 2 * S_in)
+        out = jax.lax.dot_general(
+            w2, x2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=plane_dtype,
+        )
+    elif rec.form == "suffix":
+        xv = xf.reshape(2, A1, S_in)
+        out = jax.lax.dot_general(
+            w4, xv,
+            dimension_numbers=(((2, 3), (0, 2)), ((), ())),
+            precision=precision,
+            preferred_element_type=plane_dtype,
+        )
+    elif rec.form == "interior":
+        xv = xf.reshape(2, A1, S_in, A2)
+        out = jax.lax.dot_general(
+            w4, xv,
+            dimension_numbers=(((2, 3), (0, 2)), ((), ())),
+            precision=precision,
+            preferred_element_type=plane_dtype,
+        )
+    else:  # multi: contract several disjoint windows in one dot
+        # x view (2, d0, d1, ...); ``sdims`` lists which of those dims
+        # are windows; W4 gets one contracting axis per window
+        xv = xf.reshape((2,) + tuple(rec.xdims))
+        s_idx = rec.sdims
+        w4 = w4.reshape(
+            (2, S_out, 2) + tuple(rec.xdims[i] for i in s_idx)
+        )
+        nw = len(s_idx)
+        out = jax.lax.dot_general(
+            w4, xv,
+            dimension_numbers=(
+                (tuple(range(2, 3 + nw)),
+                 (0,) + tuple(1 + i for i in s_idx)),
+                ((), ()),
+            ),
+            precision=precision,
+            preferred_element_type=plane_dtype,
+        )
+    return out.reshape(-1)
+
+
+def _choose_windows(pos_set, cur_order, sizes):
+    """Partition the gate-axis positions into <= MAX_WINDOWS disjoint
+    contiguous spans, extended/merged under the size caps.
+
+    Returns ``(spans, total_S)`` with ``spans`` a list of ``(lo, hi)``
+    in ascending order, or ``(None, reason)``.
+    """
+    n_ax = len(cur_order)
+
+    def span_prod(lo, hi):
+        return prod(sizes[a] for a in cur_order[lo:hi])
+
+    pos = sorted(pos_set)
+    # initial spans: one per position, then merge near neighbors -
+    # only while the TOTAL window product stays within the cap
+    spans = [[p, p + 1] for p in pos]
+
+    def total_of(sp):
+        return prod(span_prod(lo, hi) for lo, hi in sp)
+
+    total = total_of(spans)
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(spans) - 1):
+            gap = span_prod(spans[i][1], spans[i + 1][0])
+            joined = span_prod(spans[i][0], spans[i + 1][1])
+            new_total = (
+                total
+                // span_prod(*spans[i])
+                // span_prod(*spans[i + 1])
+                * joined
+            )
+            if new_total <= S_HARD and (
+                joined <= JOIN_SMALL
+                or (gap <= GAP_MERGE and joined <= S_MAX)
+            ):
+                spans[i][1] = spans[i + 1][1]
+                del spans[i + 1]
+                total = new_total
+                merged = True
+                break
+    # enforce the window-count cap by merging the smallest joins
+    while len(spans) > MAX_WINDOWS:
+        best, bi = None, None
+        for i in range(len(spans) - 1):
+            joined = span_prod(spans[i][0], spans[i + 1][1])
+            if best is None or joined < best:
+                best, bi = joined, i
+        total = (
+            total
+            // span_prod(*spans[bi])
+            // span_prod(*spans[bi + 1])
+            * best
+        )
+        spans[bi][1] = spans[bi + 1][1]
+        del spans[bi + 1]
+    if total > S_HARD:
+        return None, "window product too large"
+    # trailing-dim guard: the result's minor dim is the trailing A;
+    # when it is thin, extend the last window to the tail
+    trail = span_prod(spans[-1][1], n_ax)
+    if 1 < trail < 128:
+        ext = total // span_prod(*spans[-1]) * span_prod(
+            spans[-1][0], n_ax
+        )
+        if ext > S_HARD:
+            return None, "trailing dim too thin"
+        spans[-1][1] = n_ax
+        total = ext
+        trail = 1
+    if trail == 1:
+        # the last window is the operand's minor dim: grow it to a
+        # full lane tile (tile-padded otherwise)
+        while span_prod(*spans[-1]) < 128:
+            lo, hi = spans[-1]
+            if len(spans) > 1 and spans[-2][1] >= lo - 0 and (
+                spans[-2][1] == lo
+            ):
+                # adjacent: merge
+                spans[-2][1] = hi
+                del spans[-1]
+            elif lo > (spans[-2][1] if len(spans) > 1 else 0):
+                spans[-1][0] = lo - 1
+            else:
+                return None, "minor window too thin"
+            total = total_of(spans)
+            if total > S_HARD:
+                return None, "minor window growth exceeds cap"
+        # with multiple windows the result's minor dim becomes the gap
+        # between the last two windows - it must be healthy too
+        while len(spans) > 1 and span_prod(
+            spans[-2][1], spans[-1][0]
+        ) < 128:
+            joined = span_prod(spans[-2][0], spans[-1][1])
+            spans[-2][1] = spans[-1][1]
+            del spans[-1]
+            total = total_of(spans)
+            if total > S_HARD:
+                return None, "gap merge exceeds cap"
+    return [tuple(s) for s in spans], total
+
+
+def _select_form(spans, cur_order, sizes):
+    """Pick the cheapest feasible execution form for a window span set.
+
+    Measured single-window forms (scratch/micro_xla*.py):
+      prefix   (2S',2S)@(2S,M):      ~3.3 ms/GB, needs M >= 128
+      suffix   dg(W4, (2,A1,S)):     ~3.6 ms/GB, S >= 128, A1 >= 128
+      interior dg(W4, (2,A1,S,A2)):  ~7.2 ms/GB, A2 >= A2_MIN
+      multi    (general):            ~7.2 ms/GB (internal copy)
+
+    Returns ``(form, spans_f, cost)`` or None.
+    """
+    n_ax = len(cur_order)
+
+    def win_prod(lo, hi):
+        return prod(sizes[a] for a in cur_order[lo:hi])
+
+    span_lo, span_hi = spans[0][0], spans[-1][1]
+    numel = win_prod(0, n_ax)
+    # minor-dim guards scale down for small tensors (absolute padding
+    # waste is bounded by the tensor's size)
+    minor_ok = 128 if numel > 2 ** 20 else 8
+    candidates = []
+    # prefix: [0, span_hi)
+    s_pre = win_prod(0, span_hi)
+    if s_pre <= S_HARD and win_prod(span_hi, n_ax) >= minor_ok:
+        candidates.append(
+            ("prefix", [(0, span_hi)],
+             3.2 + 0.5 * s_pre / 1024 + 0.7 * (s_pre / 1024) ** 2)
+        )
+    # suffix: [lo, n); extend frontward until S >= 128
+    suf_lo = span_lo
+    while suf_lo > 0 and win_prod(suf_lo, n_ax) < 128:
+        suf_lo -= 1
+    s_suf = win_prod(suf_lo, n_ax)
+    if (
+        s_suf <= S_HARD
+        and s_suf >= 128
+        and win_prod(0, suf_lo) >= minor_ok
+    ):
+        candidates.append(
+            ("suffix", [(suf_lo, n_ax)],
+             3.1 + 0.5 * s_suf / 1024 + 0.7 * (s_suf / 1024) ** 2)
+        )
+    # interior: single merged span as-is
+    s_int = win_prod(span_lo, span_hi)
+    if (
+        span_lo > 0
+        and span_hi < n_ax
+        and s_int <= S_HARD
+        and win_prod(span_hi, n_ax) >= A2_MIN
+    ):
+        candidates.append(
+            ("interior", [(span_lo, span_hi)],
+             6.7 + 0.5 * s_int / 1024 + 0.7 * (s_int / 1024) ** 2)
+        )
+    # multi: the chosen disjoint spans
+    s_tot = prod(win_prod(lo, hi) for lo, hi in spans)
+    trail = win_prod(spans[-1][1], n_ax)
+    if len(spans) > 1 and (trail == 1 or trail >= minor_ok):
+        candidates.append(
+            ("multi", [tuple(s) for s in spans],
+             7.0 + 0.5 * s_tot / 1024 + 0.7 * (s_tot / 1024) ** 2)
+        )
+    if not candidates:
+        return None
+    return min(candidates, key=lambda c: c[2])
+
+
+def _fill_rec_dims(rec, form, spans_f, cur_order, sizes):
+    """Fill the execution-shape fields of ``rec`` for its form."""
+    n_ax = len(cur_order)
+
+    def win_prod(lo, hi):
+        return prod(sizes[a] for a in cur_order[lo:hi])
+
+    rec.xdims = rec.sdims = None
+    if form == "prefix":
+        rec.A1 = 1
+        rec.A2 = win_prod(spans_f[0][1], n_ax)
+    elif form == "suffix":
+        rec.A1 = win_prod(0, spans_f[0][0])
+        rec.A2 = 1
+    elif form == "interior":
+        rec.A1 = win_prod(0, spans_f[0][0])
+        rec.A2 = win_prod(spans_f[0][1], n_ax)
+    else:
+        # alternating dims (A0, S1, A1, S2, ..., [Alast]) with size-1
+        # A segments dropped; sdims = window dim indices
+        xdims = []
+        sidx = []
+        prev = 0
+        for lo, hi in spans_f:
+            a = win_prod(prev, lo)
+            if a != 1 or not xdims:
+                xdims.append(a)
+            sidx.append(len(xdims))
+            xdims.append(win_prod(lo, hi))
+            prev = hi
+        a = win_prod(prev, n_ax)
+        if a != 1:
+            xdims.append(a)
+        rec.xdims = tuple(xdims)
+        rec.sdims = tuple(sidx)
+        rec.A1 = rec.A2 = None
+
+
+def plan_rotation(order, sizes, axes, out_id):
+    """Plan a pure-identity windowed dot moving (the deepest subset of)
+    ``axes`` to the front of the stored order - a pad-free, MXU-speed
+    realign used when a gate's axes are too scattered to window
+    directly. Returns ``(rec, None)`` or ``(None, why)``.
+    """
+    order = list(order)
+    pos_all = sorted({order.index(a) for a in axes if a in order})
+    if not pos_all:
+        return None, "no axes to rotate"
+    for k in range(len(pos_all)):
+        subset = set(pos_all[k:])
+        spans, _why = _choose_windows(subset, order, sizes)
+        if spans is None:
+            continue
+        if spans[0][0] == 0 and len(spans) == 1:
+            return None, "axes already front"
+        sel = _select_form(spans, order, sizes)
+        if sel is None:
+            continue
+        form, spans_f, _cost = sel
+        win_axes0 = tuple(
+            a for lo, hi in spans_f for a in order[lo:hi]
+        )
+        win_dims0 = tuple(sizes[a] for a in win_axes0)
+        S = prod(win_dims0)
+        # identity operator: _build_recipe with no gates gives a pure
+        # rest-mask (permuted identity) in build_w4
+        recipe, _wao, _wdo = _build_recipe(
+            win_axes0, win_dims0, [], sizes
+        )
+        if recipe is None:
+            continue
+        rec = WindowRec()
+        rec.x_id = None
+        rec.out_id = out_id
+        rec.gates = ()
+        rec.recipe = recipe
+        rec.form = form
+        rec.S_in = rec.S_out = S
+        _fill_rec_dims(rec, form, spans_f, order, sizes)
+        inwin = set(win_axes0)
+        out_order = list(win_axes0) + [
+            a for a in order if a not in inwin
+        ]
+        rec.out_order = tuple(out_order)
+        rec.out_shape = tuple(sizes[a] for a in out_order)
+        return rec, None
+    return None, "no feasible rotation"
+
+
+def plan_window_chain(order0, sizes, gates, s_max=S_MAX):
+    """Plan a chain of gate absorptions as windowed-matmul clusters.
+
+    Parameters
+    ----------
+    order0 : tuple
+        Stored axis order of the big tensor at chain start (no plane).
+    sizes : dict
+    gates : list of (y_id, y_plan, c_legs, ny_legs, step_out)
+        In application order; ``y_plan`` realigns the gate to
+        ``(2, K, N)`` with K enumerating ``c_legs``, N ``ny_legs``.
+
+    Returns
+    -------
+    (list[WindowRec], None) or (None, reason)
+    """
+    cur_order = list(order0)
+    pending = list(gates)
+    recs = []
+
+    while pending:
+        # -- grow a cluster from pending[0] -----------------------------
+        cluster = []
+        taken = 0
+        involved = set()
+        pos_set = set()
+        spans = None
+        for (y_id, y_plan, c_legs, ny_legs, step_out) in pending:
+            if taken >= MAX_CLUSTER_GATES:
+                break
+            # axes created by earlier gates in THIS cluster substitute
+            # in place; only real current axes contribute positions
+            pos = [
+                cur_order.index(a) for a in c_legs if a in cur_order
+            ]
+            missing = [
+                a for a in c_legs
+                if a not in cur_order and a not in involved
+            ]
+            if missing:
+                return None, f"gate axis missing from order: {missing}"
+            cand = pos_set | set(pos)
+            if not cand:
+                # gate acts purely on axes created inside the cluster
+                new_spans = spans
+            else:
+                new_spans, why = _choose_windows(
+                    cand, cur_order, sizes
+                )
+                if new_spans is None:
+                    if taken:
+                        break
+                    return None, why
+            spans = new_spans
+            pos_set = cand
+            involved |= set(c_legs) | set(ny_legs)
+            k_dims = tuple(sizes[a] for a in c_legs)
+            n_dims = tuple(sizes[a] for a in ny_legs)
+            cluster.append(
+                (y_id, y_plan, tuple(c_legs), tuple(ny_legs),
+                 k_dims, n_dims)
+            )
+            taken += 1
+        cluster_steps = pending[:taken]
+        pending = pending[taken:]
+        if spans is None:
+            return None, "cluster without window positions"
+
+        sel = _select_form(spans, cur_order, sizes)
+        if sel is None:
+            return None, "no feasible window form"
+        form, spans_f, _cost = sel
+
+        n_ax = len(cur_order)
+
+        def win_prod(lo, hi):
+            return prod(sizes[a] for a in cur_order[lo:hi])
+
+        # -- build the operator recipe over the concatenated spans ------
+        win_axes0 = tuple(
+            a for lo, hi in spans_f for a in cur_order[lo:hi]
+        )
+        win_dims0 = tuple(sizes[a] for a in win_axes0)
+        try:
+            recipe, win_axes_out, win_dims_out = _build_recipe(
+                win_axes0, win_dims0, cluster, sizes
+            )
+        except _LetterOverflow:
+            return None, "einsum letters exhausted"
+        if recipe is None:
+            return None, win_axes_out
+        S_in = prod(win_dims0) if win_dims0 else 1
+        S_out = recipe["S_out"]
+
+        rec = WindowRec()
+        # chain: cluster k consumes cluster k-1's output; the caller
+        # fills in the first cluster's x (the chain's base tensor)
+        rec.x_id = recs[-1].out_id if recs else None
+        rec.gates = tuple(
+            (y_id, y_plan, prod(k_dims) or 1, prod(n_dims) or 1)
+            for (y_id, y_plan, c, nyl, k_dims, n_dims) in cluster
+        )
+        rec.recipe = recipe
+        rec.form = form
+        rec.S_in, rec.S_out = S_in, S_out
+        _fill_rec_dims(rec, form, spans_f, cur_order, sizes)
+
+        # result order: window-out axes first, then the rest in order
+        inwin = set(win_axes0)
+        rest = [a for a in cur_order if a not in inwin]
+        out_order = list(win_axes_out) + rest
+        rec.out_id = cluster_steps[-1][4]
+        rec.out_order = tuple(out_order)
+        rec.out_shape = tuple(sizes[a] for a in out_order)
+        recs.append(rec)
+        cur_order = out_order
+
+    return recs, None
