@@ -127,6 +127,12 @@ register_hyper_function(
 )
 
 
+# the in-house native multilevel partitioner (the kahypar slot)
+from ..pathfinders.partition import register_ctgpart_hyper_methods
+
+register_ctgpart_hyper_methods()
+
+
 def _hyper_ssa_greedy_compressed(inputs, output, size_dict, **params):
     from ..pathfinders.compressed import greedy_compressed_ssa
 

@@ -48,7 +48,18 @@ def get_hyper_space():
 
 
 def _default_methods():
-    for cand in (["greedy", "labels"], ["greedy"]):
+    # prefer the native multilevel partitioner (the kahypar slot) when
+    # its library builds; labels is the dependency-free fallback
+    try:
+        from ..pathfinders.partition import ctgpart_available
+
+        has_native = ctgpart_available()
+    except Exception:
+        has_native = False
+    cands = (
+        (["greedy", "ctgpart"],) if has_native else ()
+    ) + (["greedy", "labels"], ["greedy"])
+    for cand in cands:
         if all(m in _HYPER_FNS for m in cand):
             return cand
     return list(_HYPER_FNS)[:1]

@@ -102,6 +102,12 @@ def _build_lib():
         ctypes.c_int, i32p, i32p, ctypes.c_int, f64p, i32p, ctypes.c_int,
         i32p, ctypes.c_int, ctypes.c_double, ctypes.c_int, f64p,
     ]
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    lib.ctg_partition.restype = ctypes.c_int
+    lib.ctg_partition.argtypes = [
+        ctypes.c_int, ctypes.c_int, i64p, i32p, f64p, f64p,
+        ctypes.c_int, ctypes.c_double, ctypes.c_uint64, i32p,
+    ]
     return lib
 
 
@@ -304,3 +310,41 @@ def optimize_optimal(
     from ...tree import ssa_to_linear
 
     return ssa_to_linear(path, n)
+
+
+def partition(
+    eptr, pins, edge_weights, node_weights, parts, imbalance, seed
+):
+    """Native multilevel hypergraph partition (kernels.cpp
+    ``ctg_partition``): heavy-connectivity-matching coarsening,
+    greedy-grown initial bisection, 2-way hyperedge FM, recursive
+    k-way. Returns an int membership array of length n_nodes, or None
+    when the native library is unavailable.
+
+    Reference slot: the kahypar C++ partitioner the reference links
+    (``/root/reference/cotengra/pathfinders/path_kahypar.py:50-146``).
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    eptr = np.ascontiguousarray(eptr, dtype=np.int64)
+    pins = np.ascontiguousarray(pins, dtype=np.int32)
+    ew = np.ascontiguousarray(edge_weights, dtype=np.float64)
+    nw = np.ascontiguousarray(node_weights, dtype=np.float64)
+    n = len(nw)
+    out = np.empty(n, dtype=np.int32)
+    status = lib.ctg_partition(
+        n,
+        len(ew),
+        eptr.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        _i32p(pins),
+        _f64p(ew),
+        _f64p(nw),
+        int(parts),
+        float(imbalance),
+        ctypes.c_uint64(int(seed) & (2**64 - 1)),
+        _i32p(out),
+    )
+    if status != 0:
+        raise RuntimeError("native ctg_partition failed")
+    return out

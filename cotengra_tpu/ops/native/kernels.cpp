@@ -911,3 +911,417 @@ int ctg_compressed_stats(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multilevel hypergraph partitioner (the in-house kahypar-quality slot).
+//
+// Reference obligation: SURVEY.md 2.9 / path_kahypar.py:50-146 - the
+// reference links the kahypar C++ library; neither environment ships it,
+// so this implements the same multilevel recipe natively:
+//   coarsening  : heavy-connectivity matching (score = sum w(e)/(|e|-1))
+//   initial     : randomized greedy region growing (several tries)
+//   refinement  : 2-way hyperedge FM with per-pass rollback
+//   k-way       : recursive bisection with proportional target weights
+// ---------------------------------------------------------------------------
+
+namespace ctgpart {
+
+struct XorShift {
+    unsigned long long s;
+    explicit XorShift(unsigned long long seed) : s(seed ? seed : 88172645463325252ULL) {}
+    unsigned long long next() {
+        s ^= s << 13; s ^= s >> 7; s ^= s << 17; return s;
+    }
+    // uniform in [0, n)
+    int below(int n) { return (int)(next() % (unsigned long long)n); }
+    double uniform() { return (double)(next() >> 11) * (1.0 / 9007199254740992.0); }
+};
+
+struct HG {
+    int nv = 0, ne = 0;
+    std::vector<long long> eptr;      // ne+1
+    std::vector<int> pins;            // eptr[ne]
+    std::vector<double> ew;           // ne
+    std::vector<double> nw;           // nv
+    // node -> incident edges CSR
+    std::vector<long long> vptr;
+    std::vector<int> vedges;
+
+    void build_incidence() {
+        vptr.assign(nv + 1, 0);
+        for (int e = 0; e < ne; ++e)
+            for (long long p = eptr[e]; p < eptr[e + 1]; ++p)
+                vptr[pins[p] + 1]++;
+        for (int v = 0; v < nv; ++v) vptr[v + 1] += vptr[v];
+        vedges.assign(vptr[nv], 0);
+        std::vector<long long> cur(vptr.begin(), vptr.end() - 1);
+        for (int e = 0; e < ne; ++e)
+            for (long long p = eptr[e]; p < eptr[e + 1]; ++p)
+                vedges[cur[pins[p]]++] = e;
+    }
+    double total_weight() const {
+        double t = 0; for (double w : nw) t += w; return t;
+    }
+};
+
+// 2-way FM refinement of `part` (0/1 per node). Target weight of part 0
+// is w0t with tolerance eps (relative to total).
+static double fm_refine(const HG& g, std::vector<int>& part,
+                        double w0t, double eps, int max_passes,
+                        XorShift& rng) {
+    const double total = g.total_weight();
+    const double lo = w0t - eps * total, hi = w0t + eps * total;
+    std::vector<int> cnt0(g.ne), cnt1(g.ne);
+    auto recount = [&]() {
+        std::fill(cnt0.begin(), cnt0.end(), 0);
+        std::fill(cnt1.begin(), cnt1.end(), 0);
+        for (int e = 0; e < g.ne; ++e)
+            for (long long p = g.eptr[e]; p < g.eptr[e + 1]; ++p)
+                (part[g.pins[p]] ? cnt1[e] : cnt0[e])++;
+    };
+    recount();
+    double w0 = 0;
+    for (int v = 0; v < g.nv; ++v) if (!part[v]) w0 += g.nw[v];
+    auto cut_of = [&]() {
+        double c = 0;
+        for (int e = 0; e < g.ne; ++e)
+            if (cnt0[e] > 0 && cnt1[e] > 0) c += g.ew[e];
+        return c;
+    };
+    double cut = cut_of();
+
+    auto gain_of = [&](int v) {
+        double gval = 0;
+        int from = part[v];
+        for (long long q = g.vptr[v]; q < g.vptr[v + 1]; ++q) {
+            int e = g.vedges[q];
+            int cf = from ? cnt1[e] : cnt0[e];
+            int ct = from ? cnt0[e] : cnt1[e];
+            if (cf == 1) gval += g.ew[e];
+            if (ct == 0) gval -= g.ew[e];
+        }
+        return gval;
+    };
+
+    for (int pass = 0; pass < max_passes; ++pass) {
+        // lazy max-heap of (gain, v); stale entries skipped
+        std::vector<std::pair<double, int>> heap;
+        heap.reserve(g.nv);
+        std::vector<double> cached(g.nv);
+        std::vector<char> locked(g.nv, 0);
+        for (int v = 0; v < g.nv; ++v) {
+            cached[v] = gain_of(v);
+            heap.push_back({cached[v] + 1e-9 * rng.uniform(), v});
+        }
+        std::make_heap(heap.begin(), heap.end());
+        std::vector<int> moved;
+        moved.reserve(g.nv);
+        double best_delta = 0, delta = 0;
+        int best_len = 0;
+        while (!heap.empty()) {
+            std::pop_heap(heap.begin(), heap.end());
+            auto [gv, v] = heap.back();
+            heap.pop_back();
+            if (locked[v]) continue;
+            if (gv - 1e-6 > cached[v] + 1e-6) continue;  // stale high
+            int from = part[v];
+            // balance check
+            double nw0 = w0 + (from == 0 ? -g.nw[v] : g.nw[v]);
+            if (nw0 < lo || nw0 > hi) continue;
+            // apply move
+            locked[v] = 1;
+            double realg = gain_of(v);
+            part[v] = 1 - from;
+            w0 = nw0;
+            delta += realg;
+            moved.push_back(v);
+            for (long long q = g.vptr[v]; q < g.vptr[v + 1]; ++q) {
+                int e = g.vedges[q];
+                if (from == 0) { cnt0[e]--; cnt1[e]++; }
+                else { cnt1[e]--; cnt0[e]++; }
+                // re-push neighbors with refreshed gains
+                for (long long p = g.eptr[e]; p < g.eptr[e + 1]; ++p) {
+                    int u = g.pins[p];
+                    if (!locked[u]) {
+                        cached[u] = gain_of(u);
+                        heap.push_back({cached[u] + 1e-9 * rng.uniform(), u});
+                        std::push_heap(heap.begin(), heap.end());
+                    }
+                }
+            }
+            if (delta > best_delta + 1e-12) {
+                best_delta = delta;
+                best_len = (int)moved.size();
+            }
+        }
+        // roll back past the best prefix
+        for (int i = (int)moved.size() - 1; i >= best_len; --i) {
+            int v = moved[i];
+            int from = part[v];
+            part[v] = 1 - from;
+            w0 += (from == 0 ? -g.nw[v] : g.nw[v]);
+            for (long long q = g.vptr[v]; q < g.vptr[v + 1]; ++q) {
+                int e = g.vedges[q];
+                if (from == 0) { cnt0[e]--; cnt1[e]++; }
+                else { cnt1[e]--; cnt0[e]++; }
+            }
+        }
+        cut -= best_delta;
+        if (best_delta <= 1e-12) break;
+    }
+    return cut;
+}
+
+// one coarsening level by heavy-connectivity matching; returns the
+// coarse graph and the node map (fine -> coarse)
+static bool coarsen(const HG& g, HG& cg, std::vector<int>& cmap,
+                    XorShift& rng) {
+    cmap.assign(g.nv, -1);
+    std::vector<int> order(g.nv);
+    for (int v = 0; v < g.nv; ++v) order[v] = v;
+    for (int v = g.nv - 1; v > 0; --v)
+        std::swap(order[v], order[rng.below(v + 1)]);
+    std::vector<double> score(g.nv, 0.0);
+    std::vector<int> touched;
+    int nc = 0;
+    for (int oi = 0; oi < g.nv; ++oi) {
+        int u = order[oi];
+        if (cmap[u] >= 0) continue;
+        // score unmatched neighbors
+        touched.clear();
+        for (long long q = g.vptr[u]; q < g.vptr[u + 1]; ++q) {
+            int e = g.vedges[q];
+            long long sz = g.eptr[e + 1] - g.eptr[e];
+            if (sz < 2) continue;
+            double s = g.ew[e] / (double)(sz - 1);
+            for (long long p = g.eptr[e]; p < g.eptr[e + 1]; ++p) {
+                int v = g.pins[p];
+                if (v == u || cmap[v] >= 0) continue;
+                if (score[v] == 0.0) touched.push_back(v);
+                score[v] += s;
+            }
+        }
+        int best = -1;
+        double bs = 0;
+        for (int v : touched) {
+            // mildly prefer light partners (keeps weights balanced)
+            double s = score[v] / (1.0 + 0.1 * g.nw[v]);
+            if (s > bs) { bs = s; best = v; }
+            score[v] = 0.0;
+        }
+        cmap[u] = nc;
+        if (best >= 0) cmap[best] = nc;
+        nc++;
+    }
+    if (nc >= g.nv) return false;  // nothing matched
+    cg.nv = nc;
+    cg.nw.assign(nc, 0.0);
+    for (int v = 0; v < g.nv; ++v) cg.nw[cmap[v]] += g.nw[v];
+    // edges: remap pins, dedupe within edge, drop singles, merge
+    // identical pin sets by hashing
+    cg.eptr.clear(); cg.pins.clear(); cg.ew.clear();
+    cg.eptr.push_back(0);
+    std::unordered_map<unsigned long long, std::vector<int>> bucket;
+    std::vector<int> tmp;
+    for (int e = 0; e < g.ne; ++e) {
+        tmp.clear();
+        for (long long p = g.eptr[e]; p < g.eptr[e + 1]; ++p)
+            tmp.push_back(cmap[g.pins[p]]);
+        std::sort(tmp.begin(), tmp.end());
+        tmp.erase(std::unique(tmp.begin(), tmp.end()), tmp.end());
+        if ((int)tmp.size() < 2) continue;
+        unsigned long long h = 1469598103934665603ULL;
+        for (int v : tmp) {
+            h ^= (unsigned long long)(v + 1);
+            h *= 1099511628211ULL;
+        }
+        bool merged = false;
+        auto it = bucket.find(h);
+        if (it != bucket.end()) {
+            for (int ce : it->second) {
+                long long a = cg.eptr[ce], b = cg.eptr[ce + 1];
+                if (b - a == (long long)tmp.size() &&
+                    std::equal(tmp.begin(), tmp.end(),
+                               cg.pins.begin() + a)) {
+                    cg.ew[ce] += g.ew[e];
+                    merged = true;
+                    break;
+                }
+            }
+        }
+        if (!merged) {
+            int ce = (int)cg.ew.size();
+            for (int v : tmp) cg.pins.push_back(v);
+            cg.eptr.push_back((long long)cg.pins.size());
+            cg.ew.push_back(g.ew[e]);
+            bucket[h].push_back(ce);
+        }
+    }
+    cg.ne = (int)cg.ew.size();
+    cg.build_incidence();
+    return true;
+}
+
+// greedy region growing: grow part 0 from a random seed to weight w0t
+static void grow_initial(const HG& g, std::vector<int>& part,
+                         double w0t, XorShift& rng) {
+    part.assign(g.nv, 1);
+    if (g.nv == 0) return;
+    std::vector<double> conn(g.nv, 0.0);
+    std::vector<char> in0(g.nv, 0);
+    std::vector<int> cnt_in0(g.ne, 0);
+    double w0 = 0;
+    int start = rng.below(g.nv);
+    int cur = start;
+    while (w0 < w0t) {
+        in0[cur] = 1;
+        part[cur] = 0;
+        w0 += g.nw[cur];
+        for (long long q = g.vptr[cur]; q < g.vptr[cur + 1]; ++q) {
+            int e = g.vedges[q];
+            cnt_in0[e]++;
+            long long sz = g.eptr[e + 1] - g.eptr[e];
+            double s = g.ew[e] / (double)(sz > 1 ? sz - 1 : 1);
+            for (long long p = g.eptr[e]; p < g.eptr[e + 1]; ++p) {
+                int v = g.pins[p];
+                if (!in0[v]) conn[v] += s;
+            }
+        }
+        if (w0 >= w0t) break;
+        int best = -1;
+        double bs = -1;
+        for (int v = 0; v < g.nv; ++v)
+            if (!in0[v] && conn[v] > bs) { bs = conn[v]; best = v; }
+        if (best < 0 || bs <= 0) {
+            // disconnected: jump to a random unassigned node
+            best = -1;
+            for (int t = 0; t < g.nv; ++t) {
+                int v = rng.below(g.nv);
+                if (!in0[v]) { best = v; break; }
+            }
+            if (best < 0) {
+                for (int v = 0; v < g.nv; ++v)
+                    if (!in0[v]) { best = v; break; }
+            }
+            if (best < 0) break;
+        }
+        cur = best;
+    }
+}
+
+// multilevel 2-way partition; returns cut value
+static double bisect(const HG& g0, std::vector<int>& part,
+                     double frac0, double eps, XorShift& rng) {
+    // coarsening hierarchy
+    std::vector<HG> levels;
+    std::vector<std::vector<int>> maps;
+    levels.push_back(g0);
+    const int COARSE_LIMIT = 64;
+    while (levels.back().nv > COARSE_LIMIT) {
+        HG cg;
+        std::vector<int> cmap;
+        if (!coarsen(levels.back(), cg, cmap, rng)) break;
+        if (cg.nv > (int)(0.95 * levels.back().nv)) break;  // stalled
+        levels.push_back(std::move(cg));
+        maps.push_back(std::move(cmap));
+    }
+    HG& cg = levels.back();
+    double total = g0.total_weight();
+    double w0t = frac0 * total;
+
+    // several initial tries + FM, keep best
+    std::vector<int> bestp;
+    double bestcut = -1;
+    for (int t = 0; t < 16; ++t) {
+        std::vector<int> p;
+        grow_initial(cg, p, w0t, rng);
+        double c = fm_refine(cg, p, w0t, eps, 4, rng);
+        if (bestcut < 0 || c < bestcut) { bestcut = c; bestp = p; }
+    }
+    part = bestp;
+    // uncoarsen + refine
+    for (int lvl = (int)maps.size() - 1; lvl >= 0; --lvl) {
+        std::vector<int> fine(levels[lvl].nv);
+        for (int v = 0; v < levels[lvl].nv; ++v)
+            fine[v] = part[maps[lvl][v]];
+        part = std::move(fine);
+        bestcut = fm_refine(levels[lvl], part, w0t, eps, 3, rng);
+    }
+    return bestcut;
+}
+
+// recursive k-way
+static void kway(const HG& g, std::vector<int>& membership, int k,
+                 double eps, XorShift& rng, int id_base) {
+    membership.assign(g.nv, id_base);
+    if (k <= 1 || g.nv <= 1) {
+        return;
+    }
+    int k0 = (k + 1) / 2, k1 = k - k0;
+    double frac0 = (double)k0 / (double)k;
+    std::vector<int> part;
+    bisect(g, part, frac0, eps, rng);
+    // split into two sub-hypergraphs
+    for (int side = 0; side < 2; ++side) {
+        HG sg;
+        std::vector<int> local(g.nv, -1);
+        for (int v = 0; v < g.nv; ++v)
+            if (part[v] == side) {
+                local[v] = sg.nv++;
+            }
+        sg.nw.resize(sg.nv);
+        for (int v = 0; v < g.nv; ++v)
+            if (local[v] >= 0) sg.nw[local[v]] = g.nw[v];
+        sg.eptr.push_back(0);
+        std::vector<int> tmp;
+        for (int e = 0; e < g.ne; ++e) {
+            tmp.clear();
+            for (long long p = g.eptr[e]; p < g.eptr[e + 1]; ++p) {
+                int v = g.pins[p];
+                if (local[v] >= 0) tmp.push_back(local[v]);
+            }
+            if ((int)tmp.size() < 2) continue;
+            for (int v : tmp) sg.pins.push_back(v);
+            sg.eptr.push_back((long long)sg.pins.size());
+            sg.ew.push_back(g.ew[e]);
+        }
+        sg.ne = (int)sg.ew.size();
+        sg.build_incidence();
+        std::vector<int> subm;
+        int kk = side == 0 ? k0 : k1;
+        int base = side == 0 ? id_base : id_base + k0;
+        kway(sg, subm, kk, eps, rng, base);
+        for (int v = 0; v < g.nv; ++v)
+            if (part[v] == side && local[v] >= 0)
+                membership[v] = subm[local[v]];
+    }
+}
+
+}  // namespace ctgpart
+
+extern "C" int ctg_partition(
+    int n_nodes, int n_edges,
+    const long long* eptr, const int* pins,
+    const double* edge_w, const double* node_w,
+    int k, double eps, unsigned long long seed,
+    int* out_membership) {
+    try {
+        ctgpart::HG g;
+        using ctgpart::XorShift;
+        g.nv = n_nodes;
+        g.ne = n_edges;
+        g.eptr.assign(eptr, eptr + n_edges + 1);
+        g.pins.assign(pins, pins + eptr[n_edges]);
+        g.ew.assign(edge_w, edge_w + n_edges);
+        g.nw.assign(node_w, node_w + n_nodes);
+        g.build_incidence();
+        XorShift rng(seed);
+        std::vector<int> membership(n_nodes, 0);
+        ctgpart::kway(g, membership, k, eps, rng, 0);
+        for (int v = 0; v < n_nodes; ++v) out_membership[v] = membership[v];
+        return 0;
+    } catch (...) {
+        return -1;
+    }
+}
+
