@@ -322,6 +322,71 @@ class HyperGraph:
         """
         return self.simple_closeness(**kwargs)
 
+    def get_laplacian(self):
+        """Dense graph Laplacian of the clique expansion: each
+        hyperedge contributes weight ``1/(|e|-1)`` between every pair
+        of its nodes (so a 2-node edge contributes exactly 1, matching
+        the reference's raw-graph Laplacian,
+        ``/root/reference/cotengra/hypergraph.py:607-618``).
+        """
+        import numpy as np
+
+        nodes = list(self.nodes)
+        pos = {i: p for p, i in enumerate(nodes)}
+        n = len(nodes)
+        lp = np.zeros((n, n))
+        for e, members in self.edges.items():
+            ms = [m for m in dict.fromkeys(members) if m in pos]
+            k = len(ms)
+            if k < 2:
+                continue
+            w = 1.0 / (k - 1)
+            for a in range(k):
+                ia = pos[ms[a]]
+                for b in range(a + 1, k):
+                    ib = pos[ms[b]]
+                    lp[ia, ib] -= w
+                    lp[ib, ia] -= w
+                    lp[ia, ia] += w
+                    lp[ib, ib] += w
+        return lp
+
+    def resistance_distances(self):
+        """All-pairs effective resistance distances (via the shifted
+        Laplacian inverse; reference ``hypergraph.py:621-633``).
+        """
+        import numpy as np
+
+        lp = self.get_laplacian()
+        n = lp.shape[0]
+        if n == 0:
+            return lp
+        lp = lp + 1.0 / n
+        try:
+            inv = np.linalg.inv(lp)
+        except np.linalg.LinAlgError:
+            inv = np.linalg.pinv(lp)
+        d = np.diag(inv).copy()
+        rd = d[:, None] + d[None, :] - 2 * inv
+        return rd
+
+    def resistance_centrality(self, rescale=True):
+        """Centrality as negated total resistance distance to all other
+        nodes, optionally affine-rescaled into [0, 1] (reference
+        ``hypergraph.py:636-643``). Useful as a diversity input for the
+        compressed greedy scorers.
+        """
+        rd = self.resistance_distances()
+        nodes = list(self.nodes)
+        raw = -rd.sum(axis=1)
+        cents = {i: float(v) for i, v in zip(nodes, raw)}
+        if rescale and cents:
+            lo = min(cents.values())
+            hi = max(cents.values())
+            rng = (hi - lo) or 1.0
+            cents = {i: (v - lo) / rng for i, v in cents.items()}
+        return cents
+
     def compute_loops(self, start=None, max_loop_length=None):
         """Generate simple cycles up to ``max_loop_length`` (small graphs)."""
         if max_loop_length is None:

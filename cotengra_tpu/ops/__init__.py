@@ -15,10 +15,17 @@ from .grouped import (
     plan_grouped,
 )
 from .lowering import ContractionIR, extract_contractions
-from .pairwise import apply_pairwise, apply_single
+from .pairwise import (
+    apply_pairwise,
+    apply_single,
+    einsum as pairwise_einsum,
+    tensordot,
+)
 
 __all__ = [
     "apply_pairwise",
+    "pairwise_einsum",
+    "tensordot",
     "apply_single",
     "contract_core",
     "contract_slice",

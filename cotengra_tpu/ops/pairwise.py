@@ -229,3 +229,61 @@ def apply_pairwise(
     if perm is not None:
         out = jnp.transpose(out, perm)
     return out
+
+
+# -- standalone array utilities ----------------------------------------------
+# Public pairwise entry points independent of any tree, mirroring the
+# reference's BMM-based `einsum`/`tensordot` array functions
+# (/root/reference/cotengra/contract.py:414,521) - here lowered straight
+# to dot_general (the TPU-native BMM).
+
+
+def einsum(eq, *arrays):
+    """Contract one or two arrays with an einsum equation, lowered to
+    ``apply_single`` / ``apply_pairwise`` (dot_general). For more than
+    two operands use :func:`cotengra_tpu.einsum`, which plans a full
+    contraction tree.
+    """
+    lhs, rhs = eq.split("->") if "->" in eq else (eq, None)
+    terms = lhs.split(",")
+    if rhs is None:
+        # implicit output: indices appearing exactly once, sorted
+        from collections import Counter
+
+        counts = Counter(ix for t in terms for ix in t)
+        rhs = "".join(sorted(ix for ix, c in counts.items() if c == 1))
+    if len(terms) == 1:
+        return apply_single(arrays[0], tuple(terms[0]), tuple(rhs))
+    if len(terms) == 2:
+        return apply_pairwise(
+            arrays[0], arrays[1], tuple(terms[0]), tuple(terms[1]),
+            tuple(rhs),
+        )
+    raise ValueError(
+        "pairwise einsum handles 1 or 2 operands; use "
+        "cotengra_tpu.einsum for full contractions"
+    )
+
+
+def tensordot(a, b, axes=2):
+    """``np.tensordot`` equivalent lowered to ``dot_general``.
+
+    ``axes`` may be an int (contract the last/first ``axes`` dims) or a
+    pair of dim lists.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if isinstance(axes, int):
+        ax_a = tuple(range(a.ndim - axes, a.ndim))
+        ax_b = tuple(range(axes))
+    else:
+        ax_a, ax_b = axes
+        if isinstance(ax_a, int):
+            ax_a = (ax_a,)
+        if isinstance(ax_b, int):
+            ax_b = (ax_b,)
+        ax_a = tuple(d % a.ndim for d in ax_a)
+        ax_b = tuple(d % b.ndim for d in ax_b)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=((ax_a, ax_b), ((), ()))
+    )

@@ -190,15 +190,175 @@ def plot_tree_span(tree, **kwargs):
     return plot_tree(tree, layout="span", **kwargs)
 
 
-def plot_tree_flat(tree, **kwargs):
-    """Flat layout: leaves on a line, internal nodes by subtree height."""
-    return plot_tree(tree, layout="tent", **kwargs)
+def plot_tree_flat(
+    tree, ax=None, figsize=(6, 4), edge_scale=1.0, node_scale=1.0,
+    **kwargs,
+):
+    """Flat dendrogram layout: leaves on a line, each contraction drawn
+    at a height given by its position in the contraction ORDER (unlike
+    the tent layout, whose heights are subtree extents). Reference
+    intent: ``/root/reference/cotengra/plot.py`` ``plot_tree_flat``.
+    """
+    plt = _get_plt()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=figsize)
+    else:
+        fig = ax.get_figure()
+
+    leaves = _leaf_angles(tree)
+    n = len(leaves)
+    pos = {
+        leaf: (k / max(n - 1, 1), 0.0) for k, leaf in enumerate(leaves)
+    }
+    steps = list(tree.traverse())
+    nsteps = max(len(steps), 1)
+    for si, (p, l, r) in enumerate(steps):
+        y = (si + 1) / nsteps
+        x0, _ = pos[l]
+        x1, _ = pos[r]
+        x = 0.5 * (x0 + x1)
+        pos[p] = (x, y)
+        w = edge_scale * (
+            0.3 + 0.25 * math.log2(max(tree.get_size(p), 1))
+        )
+        # dendrogram bracket: up from each child, across at y
+        for c in (l, r):
+            cx, cy = pos[c]
+            ax.plot(
+                [cx, cx], [cy, y], "-", color="#888888",
+                linewidth=w, zorder=1, solid_capstyle="round",
+            )
+        ax.plot(
+            [min(x0, x1), max(x0, x1)], [y, y], "-", color="#888888",
+            linewidth=w, zorder=1, solid_capstyle="round",
+        )
+    xs, ys, ss, cs = [], [], [], []
+    for p, l, r in steps:
+        x, y = pos[p]
+        xs.append(x)
+        ys.append(y)
+        ss.append(
+            node_scale
+            * (5 + 8 * math.log10(max(tree.get_flops(p), 1)))
+        )
+        cs.append(math.log10(max(tree.get_flops(p), 1)))
+    ax.scatter(xs, ys, s=ss, c=cs, cmap="viridis", zorder=2, **kwargs)
+    lx, ly = zip(*(pos[leaf] for leaf in leaves))
+    ax.scatter(lx, ly, s=8 * node_scale, color="#222222", zorder=3)
+    ax.axis("off")
+    return fig, ax
 
 
-def plot_tree_rubberband(tree, **kwargs):
-    """Alias of the span layout (contour-band rendering is approximated
-    by the span tree)."""
-    return plot_tree(tree, layout="span", **kwargs)
+def _convex_hull(points):
+    """Andrew's monotone-chain convex hull (no scipy)."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (
+            b[0] - o[0]
+        )
+
+    lower = []
+    for p in pts:
+        while (
+            len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0
+        ):
+            lower.pop()
+        lower.append(p)
+    upper = []
+    for p in reversed(pts):
+        while (
+            len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0
+        ):
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def plot_tree_rubberband(
+    tree, ax=None, figsize=(5, 5), order=None, max_bands=None,
+    colormap="viridis", alpha=0.2, **kwargs,
+):
+    """Rubber-band view: the input hypergraph laid out with a spring
+    embedding, with a translucent convex 'band' drawn around the leaves
+    of every intermediate of the contraction tree - bands nest with
+    contraction depth, visualizing how the tree groups the network.
+    Reference intent: ``/root/reference/cotengra/plot.py``
+    ``plot_tree_rubberband``.
+    """
+    import numpy as np
+
+    plt = _get_plt()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=figsize)
+    else:
+        fig = ax.get_figure()
+
+    # spring layout of the input graph
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_nodes_from(range(tree.N))
+    ix_holders = {}
+    for i, term in enumerate(tree.inputs):
+        for ix in term:
+            ix_holders.setdefault(ix, []).append(i)
+    for ix, hs in ix_holders.items():
+        hs = sorted(set(hs))
+        for a in range(len(hs)):
+            for b in range(a + 1, len(hs)):
+                G.add_edge(hs[a], hs[b])
+    xy = nx.spring_layout(G, seed=42)
+
+    steps = list(tree.traverse(order=order))
+    if max_bands is not None:
+        steps = steps[-max_bands:]
+    cmap = plt.get_cmap(colormap)
+    nsteps = max(len(steps), 1)
+    for si, (p, l, r) in enumerate(steps):
+        members = [i for i in range(tree.N) if (p >> i) & 1]
+        if len(members) < 2 or len(members) == tree.N:
+            continue
+        pts = [tuple(xy[i]) for i in members]
+        hull = _convex_hull(pts)
+        if len(hull) < 3:
+            # pad a segment into a thin band
+            (x0, y0), (x1, y1) = hull[0], hull[-1]
+            dx, dy = y1 - y0, x0 - x1
+            nrm = math.hypot(dx, dy) or 1.0
+            e = 0.02
+            hull = [
+                (x0 + e * dx / nrm, y0 + e * dy / nrm),
+                (x1 + e * dx / nrm, y1 + e * dy / nrm),
+                (x1 - e * dx / nrm, y1 - e * dy / nrm),
+                (x0 - e * dx / nrm, y0 - e * dy / nrm),
+            ]
+        # expand the hull slightly around its centroid
+        cx = sum(x for x, _ in hull) / len(hull)
+        cy = sum(y for _, y in hull) / len(hull)
+        grow = 1.08
+        hull = [
+            (cx + grow * (x - cx), cy + grow * (y - cy))
+            for x, y in hull
+        ]
+        poly = plt.Polygon(
+            hull, closed=True, facecolor=cmap(si / nsteps),
+            edgecolor=cmap(si / nsteps), alpha=alpha, zorder=1,
+        )
+        ax.add_patch(poly)
+    # draw the graph itself
+    for a, b in G.edges:
+        ax.plot(
+            [xy[a][0], xy[b][0]], [xy[a][1], xy[b][1]], "-",
+            color="#555555", linewidth=0.8, zorder=2,
+        )
+    px, py = zip(*(xy[i] for i in range(tree.N)))
+    ax.scatter(px, py, s=22, color="#222222", zorder=3, **kwargs)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    return fig, ax
 
 
 def plot_parameters_parallel(opt, params=None, ax=None, figsize=(7, 3)):

@@ -169,3 +169,66 @@ def test_external_solvers_gated():
         assert "flowcutter-10" not in ctg.list_presets()
     if not quickbb_available():
         assert "quickbb-10" not in ctg.list_presets()
+
+
+def test_pairwise_einsum_tensordot_standalone():
+    import numpy as np
+
+    from cotengra_tpu.ops import pairwise_einsum, tensordot
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(3, 4, 5))
+    b = rng.normal(size=(5, 4, 6))
+    np.testing.assert_allclose(
+        np.asarray(pairwise_einsum("abc,cbd->ad", a, b)),
+        np.einsum("abc,cbd->ad", a, b),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tensordot(a, b, axes=([2, 1], [0, 1]))),
+        np.tensordot(a, b, axes=([2, 1], [0, 1])),
+        rtol=1e-12,
+    )
+    # single-term: diagonal + sum + implicit output
+    c = rng.normal(size=(3, 4, 4))
+    np.testing.assert_allclose(
+        np.asarray(pairwise_einsum("abb->a", c)),
+        np.einsum("abb->a", c),
+        rtol=1e-12,
+    )
+
+
+def test_resistance_centrality():
+    from cotengra_tpu.hypergraph import HyperGraph
+
+    inputs = [("a",), ("a", "b"), ("b", "c"), ("c", "d"), ("d",)]
+    hg = HyperGraph(inputs, (), {ix: 2 for ix in "abcd"})
+    c = hg.resistance_centrality()
+    assert max(c, key=c.get) == 2  # path-graph center
+    assert min(c.values()) == 0.0 and max(c.values()) == 1.0
+    # hyperedge-aware: a 3-node hyperedge connects all three
+    inputs2 = [("x",), ("x", "y"), ("y",), ("y", "z"), ("z",)]
+    hg2 = HyperGraph(inputs2, (), {ix: 2 for ix in "xyz"})
+    c2 = hg2.resistance_centrality()
+    assert len(c2) == 5
+
+
+def test_plot_flat_and_rubberband_distinct():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    import cotengra_tpu as ctg
+
+    inputs, output, shapes, size_dict = ctg.rand_equation(10, 3, seed=0)
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    fig1, ax1 = tree.plot_flat()
+    fig2, ax2 = tree.plot_rubberband()
+    fig3, ax3 = tree.plot_tent()
+    # the flat layout is a dendrogram by contraction order: its node
+    # heights differ from the tent layout's extent-based heights
+    plt.close("all")
