@@ -309,29 +309,36 @@ def build_w4(recipe, ys, dtype):
         ).astype(cdt)  # (S_out, nj)
         wr = (oh_in @ (jr2 @ oh_out.T)) * mask
         wi = (oh_in @ (ji2 @ oh_out.T)) * mask
-    # W4[p_out, s_out, p_in, s_in]: [[Wr^T, -Wi^T], [Wi^T, Wr^T]]
+    # block-embedded 2-D operator W2 (2*S_out, 2*S_in):
+    # [[Wr^T, -Wi^T], [Wi^T, Wr^T]] - kept 2-D throughout (the 4-D
+    # multi-contracting-dim dot_general form compiles pathologically
+    # slowly on the TPU backend: 300+ s per op at S >= 2048)
     if wi is None:
         z = jnp.zeros_like(wr)
-        w4 = jnp.stack(
-            [jnp.stack([wr.T, z]), jnp.stack([z, wr.T])]
-        )
+        top = jnp.concatenate([wr.T, z], axis=1)
+        bot = jnp.concatenate([z, wr.T], axis=1)
     else:
-        w4 = jnp.stack(
-            [jnp.stack([wr.T, -wi.T]), jnp.stack([wi.T, wr.T])]
-        )  # (2_out, 2_in, S_out, S_in)
-    w4 = jnp.transpose(w4, (0, 2, 1, 3))
-    return w4.astype(dtype)
+        top = jnp.concatenate([wr.T, -wi.T], axis=1)
+        bot = jnp.concatenate([wi.T, wr.T], axis=1)
+    w2 = jnp.concatenate([top, bot], axis=0)
+    return w2.astype(dtype)
 
 
 def exec_window(rec, temps, shapes, precision, plane_dtype):
-    """Execute one WindowRec over the plane-major flat temps."""
+    """Execute one WindowRec over the plane-major flat temps.
+
+    Every form lowers to ONE plain 2-D matmul
+    ``(2S', 2S) @ (2S, M)`` - non-prefix forms first rotate the window
+    dims forward with a single fused transpose+reshape (pad-free: the
+    trailing dim M = numel/S stays large).
+    """
     ys = []
     from .grouped import _apply_block_plan_split
 
     for (y_id, y_plan, K, N) in rec.gates:
         yf = _apply_block_plan_split(temps[y_id], y_plan)
         ys.append(yf.reshape(2, K, N))
-    w4 = build_w4(rec.recipe, ys, plane_dtype)
+    w2 = build_w4(rec.recipe, ys, plane_dtype)
     # accumulate in f32 even under bf16 planes (the caller casts the
     # stored result back down)
     pet = (
@@ -339,53 +346,41 @@ def exec_window(rec, temps, shapes, precision, plane_dtype):
         if jnp.dtype(plane_dtype).itemsize < 4
         else jnp.dtype(plane_dtype)
     )
-    plane_dtype = pet
     xf = temps[rec.x_id]
     A1, S_in, A2, S_out = rec.A1, rec.S_in, rec.A2, rec.S_out
+    numel2 = xf.size
+    M = numel2 // (2 * S_in)
     if rec.form == "prefix":
-        x2 = xf.reshape(2 * S_in, A2)
-        w2 = w4.reshape(2 * S_out, 2 * S_in)
-        out = jax.lax.dot_general(
-            w2, x2,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=precision,
-            preferred_element_type=plane_dtype,
-        )
+        x2 = xf.reshape(2 * S_in, M)
     elif rec.form == "suffix":
-        xv = xf.reshape(2, A1, S_in)
-        out = jax.lax.dot_general(
-            w4, xv,
-            dimension_numbers=(((2, 3), (0, 2)), ((), ())),
-            precision=precision,
-            preferred_element_type=plane_dtype,
+        x2 = jax.lax.reshape(
+            xf.reshape(2, A1, S_in), (2 * S_in, M),
+            dimensions=(0, 2, 1),
         )
     elif rec.form == "interior":
-        xv = xf.reshape(2, A1, S_in, A2)
-        out = jax.lax.dot_general(
-            w4, xv,
-            dimension_numbers=(((2, 3), (0, 2)), ((), ())),
-            precision=precision,
-            preferred_element_type=plane_dtype,
+        x2 = jax.lax.reshape(
+            xf.reshape(2, A1, S_in, A2), (2 * S_in, M),
+            dimensions=(0, 2, 1, 3),
         )
-    else:  # multi: contract several disjoint windows in one dot
-        # x view (2, d0, d1, ...); ``sdims`` lists which of those dims
-        # are windows; W4 gets one contracting axis per window
+    else:  # multi: several disjoint windows move forward together
         xv = xf.reshape((2,) + tuple(rec.xdims))
-        s_idx = rec.sdims
-        w4 = w4.reshape(
-            (2, S_out, 2) + tuple(rec.xdims[i] for i in s_idx)
+        s_idx = set(rec.sdims)
+        perm = (
+            (0,)
+            + tuple(1 + i for i in rec.sdims)
+            + tuple(
+                1 + i
+                for i in range(len(rec.xdims))
+                if i not in s_idx
+            )
         )
-        nw = len(s_idx)
-        out = jax.lax.dot_general(
-            w4, xv,
-            dimension_numbers=(
-                (tuple(range(2, 3 + nw)),
-                 (0,) + tuple(1 + i for i in s_idx)),
-                ((), ()),
-            ),
-            precision=precision,
-            preferred_element_type=plane_dtype,
-        )
+        x2 = jax.lax.reshape(xv, (2 * S_in, M), dimensions=perm)
+    out = jax.lax.dot_general(
+        w2, x2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=pet,
+    )
     return out.reshape(-1)
 
 
@@ -448,58 +443,18 @@ def _choose_windows(pos_set, cur_order, sizes):
         del spans[bi + 1]
     if total > S_HARD:
         return None, "window product too large"
-    # trailing-dim guard: the result's minor dim is the trailing A;
-    # when it is thin, extend the last window to the tail
-    trail = span_prod(spans[-1][1], n_ax)
-    if 1 < trail < 128:
-        ext = total // span_prod(*spans[-1]) * span_prod(
-            spans[-1][0], n_ax
-        )
-        if ext > S_HARD:
-            return None, "trailing dim too thin"
-        spans[-1][1] = n_ax
-        total = ext
-        trail = 1
-    if trail == 1:
-        # the last window is the operand's minor dim: grow it to a
-        # full lane tile (tile-padded otherwise)
-        while span_prod(*spans[-1]) < 128:
-            lo, hi = spans[-1]
-            if len(spans) > 1 and spans[-2][1] >= lo - 0 and (
-                spans[-2][1] == lo
-            ):
-                # adjacent: merge
-                spans[-2][1] = hi
-                del spans[-1]
-            elif lo > (spans[-2][1] if len(spans) > 1 else 0):
-                spans[-1][0] = lo - 1
-            else:
-                return None, "minor window too thin"
-            total = total_of(spans)
-            if total > S_HARD:
-                return None, "minor window growth exceeds cap"
-        # with multiple windows the result's minor dim becomes the gap
-        # between the last two windows - it must be healthy too
-        while len(spans) > 1 and span_prod(
-            spans[-2][1], spans[-1][0]
-        ) < 128:
-            joined = span_prod(spans[-2][0], spans[-1][1])
-            spans[-2][1] = spans[-1][1]
-            del spans[-1]
-            total = total_of(spans)
-            if total > S_HARD:
-                return None, "gap merge exceeds cap"
+    # no minor-dim guards needed: execution lowers every form to a
+    # fused transpose + 2-D matmul whose minor dim is numel/S (large)
     return [tuple(s) for s in spans], total
 
 
 def _select_form(spans, cur_order, sizes):
     """Pick the cheapest feasible execution form for a window span set.
 
-    Measured single-window forms (scratch/micro_xla*.py):
-      prefix   (2S',2S)@(2S,M):      ~3.3 ms/GB, needs M >= 128
-      suffix   dg(W4, (2,A1,S)):     ~3.6 ms/GB, S >= 128, A1 >= 128
-      interior dg(W4, (2,A1,S,A2)):  ~7.2 ms/GB, A2 >= A2_MIN
-      multi    (general):            ~7.2 ms/GB (internal copy)
+    Every form executes as ONE 2-D matmul ``(2S',2S)@(2S,M)``;
+    non-prefix forms add one fused transpose pass (~3.5 ms/GB measured)
+    to rotate the window dims forward. The quadratic term charges for
+    building + reading the dense operator (4*S^2 floats).
 
     Returns ``(form, spans_f, cost)`` or None.
     """
@@ -508,53 +463,33 @@ def _select_form(spans, cur_order, sizes):
     def win_prod(lo, hi):
         return prod(sizes[a] for a in cur_order[lo:hi])
 
+    def op_cost(s):
+        return 0.5 * s / 1024 + 0.7 * (s / 1024) ** 2
+
     span_lo, span_hi = spans[0][0], spans[-1][1]
-    numel = win_prod(0, n_ax)
-    # minor-dim guards scale down for small tensors (absolute padding
-    # waste is bounded by the tensor's size)
-    minor_ok = 128 if numel > 2 ** 20 else 8
     candidates = []
-    # prefix: [0, span_hi)
+    # prefix: [0, span_hi) - no transpose pass
     s_pre = win_prod(0, span_hi)
-    if s_pre <= S_HARD and win_prod(span_hi, n_ax) >= minor_ok:
+    if s_pre <= S_HARD:
         candidates.append(
-            ("prefix", [(0, span_hi)],
-             3.2 + 0.5 * s_pre / 1024 + 0.7 * (s_pre / 1024) ** 2)
+            ("prefix", [(0, span_hi)], 3.2 + op_cost(s_pre))
         )
-    # suffix: [lo, n); extend frontward until S >= 128
-    suf_lo = span_lo
-    while suf_lo > 0 and win_prod(suf_lo, n_ax) < 128:
-        suf_lo -= 1
-    s_suf = win_prod(suf_lo, n_ax)
-    if (
-        s_suf <= S_HARD
-        and s_suf >= 128
-        and win_prod(0, suf_lo) >= minor_ok
-    ):
-        candidates.append(
-            ("suffix", [(suf_lo, n_ax)],
-             3.1 + 0.5 * s_suf / 1024 + 0.7 * (s_suf / 1024) ** 2)
-        )
-    # interior: single merged span as-is
-    s_int = win_prod(span_lo, span_hi)
-    if (
-        span_lo > 0
-        and span_hi < n_ax
-        and s_int <= S_HARD
-        and win_prod(span_hi, n_ax) >= A2_MIN
-    ):
-        candidates.append(
-            ("interior", [(span_lo, span_hi)],
-             6.7 + 0.5 * s_int / 1024 + 0.7 * (s_int / 1024) ** 2)
-        )
-    # multi: the chosen disjoint spans
+    # windowed (transpose + dot): the chosen spans as-is
     s_tot = prod(win_prod(lo, hi) for lo, hi in spans)
-    trail = win_prod(spans[-1][1], n_ax)
-    if len(spans) > 1 and (trail == 1 or trail >= minor_ok):
-        candidates.append(
-            ("multi", [tuple(s) for s in spans],
-             7.0 + 0.5 * s_tot / 1024 + 0.7 * (s_tot / 1024) ** 2)
-        )
+    if s_tot <= S_HARD:
+        if len(spans) > 1:
+            form = "multi"
+        elif span_hi == n_ax:
+            form = "suffix"
+        elif span_lo == 0:
+            form = "prefix"
+        else:
+            form = "interior"
+        if form != "prefix":
+            candidates.append(
+                (form, [tuple(s) for s in spans],
+                 6.8 + op_cost(s_tot))
+            )
     if not candidates:
         return None
     return min(candidates, key=lambda c: c[2])
