@@ -181,6 +181,9 @@ def main():
         file=sys.stderr,
     )
     pdt = os.environ.get("BENCH_PLANE_DTYPE")  # e.g. "bfloat16"
+    # gate-chain executor: "window" (MXU dot_generals, round-3 default),
+    # "inplace" (round-2 pallas kernels), or "none"
+    gm = os.environ.get("BENCH_GATE_MODE", "auto")
     core = make_grouped_staged_contractor(
         tree,
         stage_size=ss,
@@ -190,6 +193,7 @@ def main():
         plane_dtype=jnp.dtype(pdt) if pdt else None,
         slice_batch=sb if nsl > 1 else None,
         slice_batch_mode=mode,
+        gate_mode=None if gm == "none" else gm,
     )
     planes = [jnp.asarray(to_plane_array(a)) for a in arrays]
     if nsl > 1:

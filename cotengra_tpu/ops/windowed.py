@@ -23,17 +23,19 @@ layout and paying VPU arithmetic, we:
   capped) - untouched axes inside the span are carried by identity
   factors in the operator;
 - build the dense window operator ``W (S_in, S_out)`` on device from
-  the gate tensors (tiny einsums), complex-embedded with the plane axis
-  into ``W4 (2, S_out, 2, S_in)``;
-- apply with ONE dot_general, in one of three forms (all leave the
-  result plane-major, with the window's output axes moved to the
-  FRONT of the stored order - tracked host-side, never transposed):
-
-  * prefix  (window starts at axis 0):   ``(2S', 2S) @ (2S, M)``
-  * suffix  (window ends at last axis):  ``dg(W4, x(2, A1, S))``
-  * interior:                            ``dg(W4, x(2, A1, S, A2))``
-
-  Measured 3.3-3.7 ms, 3.6 ms, 7.2 ms respectively per 1.07 GB pass.
+  the gate tensors (one-hot matmuls + a rest-digit mask, all 2-D),
+  complex-embedded with the plane axis into the block form
+  ``W2 (2*S_out, 2*S_in)``;
+- apply with ONE plain 2-D matmul ``W2 @ (2S, M)``. A prefix window
+  (span starting at axis 0, plane-major) needs no data movement at
+  all; other forms (suffix / interior / multi-span) first rotate the
+  window dims forward with a single fused transpose+reshape (pad-free:
+  the trailing dim ``M = numel/S`` stays large). The result is always
+  plane-major with the window's output axes at the FRONT of the stored
+  order - tracked host-side. Measured ~3.3 ms (prefix) and ~7 ms
+  (transpose + dot) per 1.07 GB pass. The earlier multi-contracting-dim
+  ``dot_general`` formulation was abandoned: it compiles pathologically
+  slowly on this backend (minutes per op at S >= 2048).
 
 Because consecutive gate layers in circuits revisit the same axes, the
 window-to-front rotation makes later clusters prefix windows (the fast
@@ -65,12 +67,6 @@ GAP_MERGE = 8
 JOIN_SMALL = 256
 # max disjoint windows contracted by one dot_general
 MAX_WINDOWS = 4
-# minimum window OUTPUT size for suffix/interior forms: S' becomes the
-# result's minor dim - below ~128 lanes the output buffer pads
-OUT_MIN = 128
-# interior form needs a healthy trailing dim too (it is the operand's
-# minor dim); below this, extend the window to the tail instead
-A2_MIN = 128
 # gates this large go through the ordinary pairwise path
 MAX_GATE_SIZE = 2048
 # only bother for big tensors
@@ -79,8 +75,6 @@ MIN_TENSOR_SIZE = 2 ** 16
 MAX_CHAIN_GATES = 16
 # max gates composed into one cluster operator
 MAX_CLUSTER_GATES = 8
-# rank cap for the expansion einsum output (compile-time guard)
-MAX_EXPAND_RANK = 16
 
 
 class WindowRec:
@@ -97,11 +91,6 @@ class WindowRec:
         "out_order",      # stored order of the result (no plane)
         "out_shape",      # logical shape of the result
     )
-
-
-def _positions(order, names):
-    pos = {ix: i for i, ix in enumerate(order)}
-    return [pos[ix] for ix in names]
 
 
 def _substitute(win_axes, win_dims, c_legs, ny_legs, sizes):
