@@ -298,8 +298,11 @@ class CompressedStatsTracker:
 
     def copy(self):
         new = object.__new__(self.__class__)
-        for attr in self.__slots__:
-            setattr(new, attr, getattr(self, attr))
+        # walk the MRO: subclasses declare ``__slots__ = ()`` (or extra
+        # fields) and ``self.__slots__`` only shows the leaf class's own
+        for klass in type(self).__mro__:
+            for attr in getattr(klass, "__slots__", ()):
+                setattr(new, attr, getattr(self, attr))
         return new
 
     def update_pre_step(self):

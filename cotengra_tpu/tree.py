@@ -707,16 +707,16 @@ class ContractionTree:
             tuple(self.size_dict[ix] for ix in term) for term in self.inputs
         )
 
-    def get_ssa_path(self):
+    def get_ssa_path(self, order=None):
         """Export the tree as an SSA path (contraction order = default
-        traversal).
+        traversal, or any :meth:`traverse` ``order``).
         """
         ssa = {}
         for i in range(self.N):
             ssa[1 << i] = i
         c = self.N
         path = []
-        for p, l, r in self.traverse():
+        for p, l, r in self.traverse(order):
             path.append((ssa[l], ssa[r]))
             ssa[p] = c
             c += 1

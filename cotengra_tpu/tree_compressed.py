@@ -138,97 +138,121 @@ class ContractionTreeCompressed(ContractionTree):
 
     # -- refinement over contraction orders ----------------------------------
 
+    def _rebuild_from_ssa(self, ssa_path, minimize, inplace):
+        rtree = self.__class__.from_path(
+            self.inputs,
+            self.output,
+            self.size_dict,
+            ssa_path=ssa_path,
+            objective=minimize,
+        )
+        if inplace:
+            self._adopt(rtree)
+            self.__dict__.pop("_surface_seq", None)
+            return self
+        return rtree
+
     def windowed_reconfigure(
         self,
         minimize=None,
-        order_only=True,
+        order_only=False,
         window_size=20,
         max_iterations=100,
         max_window_tries=1000,
         score_temperature=0.0,
         queue_temperature=1.0,
+        scorer=None,
+        queue_scorer=None,
         seed=None,
         inplace=False,
         progbar=False,
         **kwargs,
     ):
-        """Anneal the *surface order* of the contractions: propose local
-        reorderings (adjacent transpositions that keep the order
-        topologically valid) and accept by compressed-score Metropolis
-        (simplified analog of reference ``core.py:4364-4416`` /
-        ``path_compressed.py``).
+        """Refine the compressed contraction path with window-localized
+        best-first branch-and-bound: re-optimize short windows of the
+        surface-order chain against fixed boundary states, either
+        re-ordering the existing subtree steps (``order_only=True``) or
+        rebuilding window structure freely (reference
+        ``core.py:3086-3146`` driving
+        ``path_compressed.py:291-419``).
         """
-        tree = self if inplace else self.copy()
-        objective = parse_minimize(
-            minimize
-            if minimize is not None
-            else tree.get_default_objective()
+        from .pathfinders.windowed_opt import WindowedOptimizer
+
+        if minimize is None:
+            minimize = self.get_default_objective()
+        wo = WindowedOptimizer(
+            self.inputs,
+            self.output,
+            self.size_dict,
+            minimize=minimize,
+            ssa_path=self.get_ssa_path("surface_order"),
+            seed=seed,
         )
-        rng = get_rng(seed)
-
-        order = [
-            (p, l, r) for p, l, r in tree.traverse("surface_order")
-        ]
-        tracker_cls = getattr(objective, "tracker_cls", None)
-
-        def score_of(order_list):
-            seq = {p: i for i, (p, _, _) in enumerate(order_list)}
-            stats = tree.compressed_contract_stats(
-                chi=getattr(objective, "chi", None),
-                order=lambda n: seq.get(n, len(seq)),
-                tracker_cls=tracker_cls,
-            )
-            return stats.score if tracker_cls else stats.combo_score
-
-        current = score_of(order)
-        n = len(order)
-
-        def earliest_valid_pos(j):
-            """Earliest position step j could move to: just after the
-            last step producing one of its inputs."""
-            pj, lj, rj = order[j]
-            pos = 0
-            for k in range(j):
-                pk = order[k][0]
-                if pk == lj or pk == rj:
-                    pos = k + 1
-            return pos
-
-        for _ in range(max_iterations):
-            improved = False
-            # proposals: move a step earlier in the order ("eager"
-            # scheduling perturbations) - adjacent swaps are almost never
-            # valid on the chain-like orders compressed sweeps produce
-            for _try in range(
-                max(1, max_window_tries // max_iterations)
-            ):
-                if n < 3:
-                    break
-                j = rng.randrange(1, n)
-                lo = max(earliest_valid_pos(j), j - window_size)
-                if lo >= j:
-                    continue
-                i = rng.randrange(lo, j)
-                candidate = order[:i] + [order[j]] + order[i:j] + order[j + 1:]
-                new = score_of(candidate)
-                dE = new - current
-                if dE <= 0 or (
-                    score_temperature > 0
-                    and rng.random() < math.exp(-dE / score_temperature)
-                ):
-                    order = candidate
-                    current = new
-                    improved = dE < 0
-                    break
-            if not improved and score_temperature == 0:
-                break
-
-        # persist the refined order
-        tree._surface_seq = {p: i for i, (p, _, _) in enumerate(order)}
-        return tree
+        wo.refine(
+            window_size=window_size,
+            max_iterations=max_iterations,
+            order_only=order_only,
+            max_window_tries=max_window_tries,
+            score_temperature=score_temperature,
+            queue_temperature=queue_temperature,
+            scorer=scorer,
+            queue_scorer=queue_scorer,
+            progbar=progbar,
+            **kwargs,
+        )
+        return self._rebuild_from_ssa(
+            wo.get_ssa_path(), minimize, inplace
+        )
 
     windowed_reconfigure_ = functools.partialmethod(
         windowed_reconfigure, inplace=True
+    )
+
+    def simulated_anneal(
+        self,
+        minimize=None,
+        tfinal=0.0001,
+        tstart=0.01,
+        tsteps=50,
+        numiter=50,
+        select="descend",
+        seed=None,
+        inplace=False,
+        progbar=False,
+        **kwargs,
+    ):
+        """Annealed local rewrites of the *compressed* contraction
+        chain: Metropolis sweeps proposing associativity rewrites of
+        adjacent step pairs (reference ``core.py:4364-4416`` driving
+        ``path_compressed.py:421-529``).
+        """
+        from .pathfinders.windowed_opt import WindowedOptimizer
+
+        if minimize is None:
+            minimize = self.get_default_objective()
+        wo = WindowedOptimizer(
+            self.inputs,
+            self.output,
+            self.size_dict,
+            minimize=minimize,
+            ssa_path=self.get_ssa_path("surface_order"),
+            seed=seed,
+        )
+        wo.anneal(
+            tfinal=tfinal,
+            tstart=tstart,
+            tsteps=tsteps,
+            numiter=numiter,
+            select=select,
+            progbar=progbar,
+            **kwargs,
+        )
+        return self._rebuild_from_ssa(
+            wo.get_ssa_path(), minimize, inplace
+        )
+
+    simulated_anneal_ = functools.partialmethod(
+        simulated_anneal, inplace=True
     )
 
     def compressed_reconfigure(

@@ -19,7 +19,16 @@ arrays = [np.ones(s) + 0.05 * rng.normal(size=s) for s in shapes]
 # plan an order that minimizes the compressed peak size at chi=16
 opt = ctg.HyperCompressedOptimizer(chi=16, max_repeats=16, seed=0)
 tree = opt.search(inputs, output, size_dict)
-print("planned:", tree.describe("full"))
+print("planned:  ", tree.describe("full"))
+
+# refine: window-localized branch-and-bound over the contraction chain,
+# then annealed associativity rewrites
+tree = tree.windowed_reconfigure(
+    window_size=12, max_iterations=60, seed=0
+)
+print("windowed: ", tree.describe("full"))
+tree = tree.simulated_anneal(tsteps=20, numiter=8, seed=0)
+print("annealed: ", tree.describe("full"))
 
 # execute approximately at increasing chi - converges to exact.
 # strip_exponent keeps the huge lattice norm in range: the result is
