@@ -173,6 +173,8 @@ def hyper_optimize(inputs, output, size_dict, memory_limit=None, **opts):
 from .pathfinders import basic as path_basic  # noqa: E402
 from .pathfinders import basic as path_greedy  # noqa: E402
 from .pathfinders import compressed as path_compressed_greedy  # noqa: E402
+from .pathfinders import windowed_opt as path_compressed  # noqa: E402
+from .pathfinders import compressed_bb as path_compressed_branchbound  # noqa: E402
 from .pathfinders import igraph as path_igraph  # noqa: E402
 from .pathfinders import kahypar as path_kahypar  # noqa: E402
 from .pathfinders import labels as path_labels  # noqa: E402

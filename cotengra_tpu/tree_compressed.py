@@ -15,9 +15,7 @@ compressed contraction requires truncation (QR/SVD) between steps; see
 import functools
 import math
 
-from .scoring import parse_minimize
 from .tree import ContractionTree
-from .utils.misc import get_rng
 
 
 class ContractionTreeCompressed(ContractionTree):
@@ -258,58 +256,50 @@ class ContractionTreeCompressed(ContractionTree):
     def compressed_reconfigure(
         self,
         minimize=None,
-        num_restarts=4,
-        max_iterations=50,
-        temperatures=(0.0, 0.05, 0.2),
-        seed=None,
+        order_only=False,
+        max_nodes="auto",
+        max_time=None,
+        local_score=None,
+        exploration_power=0.0,
+        best_score=None,
         inplace=False,
+        progbar=False,
         **kwargs,
     ):
-        """Multi-restart annealed order refinement: run
-        ``windowed_reconfigure`` from several temperatures and keep the
-        best (serves the role of the reference's exhaustive
-        branch-and-bound ``compressed_reconfigure``,
-        ``core.py:3038-3066``).
+        """Exhaustive branch-and-bound re-optimization of the whole
+        compressed contraction, seeded (and bounded) by the current
+        path; ``order_only=True`` restricts the search to re-ordering
+        the current merges (reference ``core.py:2988-3084`` driving
+        ``experimental/path_compressed_branchbound.py``).
         """
-        rng = get_rng(seed)
-        objective = parse_minimize(
-            minimize
-            if minimize is not None
-            else self.get_default_objective()
+        from .pathfinders.compressed_bb import CompressedExhaustive
+
+        if minimize is None:
+            minimize = self.get_default_objective()
+        if max_nodes == "auto":
+            max_nodes = (
+                max(10_000, self.N**2)
+                if max_time is None
+                else float("inf")
+            )
+        opt = CompressedExhaustive(
+            minimize=minimize,
+            local_score=local_score,
+            max_nodes=max_nodes,
+            max_time=max_time,
+            exploration_power=exploration_power,
+            best_score=best_score,
+            progbar=progbar,
+            **kwargs,
         )
-        tracker_cls = getattr(objective, "tracker_cls", None)
-        chi = getattr(objective, "chi", None)
-
-        def score(t):
-            stats = t.compressed_contract_stats(
-                chi=chi, tracker_cls=tracker_cls
-            )
-            return stats.score if tracker_cls else stats.combo_score
-
-        best = self
-        best_score = score(self)
-        for r in range(num_restarts):
-            temp = temperatures[r % len(temperatures)]
-            cand = self.windowed_reconfigure(
-                minimize=minimize,
-                max_iterations=max_iterations,
-                score_temperature=temp,
-                seed=rng.randrange(2**32),
-                inplace=False,
-                **kwargs,
-            )
-            s = score(cand)
-            if s < best_score:
-                best, best_score = cand, s
-
-        if inplace:
-            if best is not self:
-                self._adopt(best)
-                self._surface_seq = getattr(
-                    best, "_surface_seq", None
-                ) or {}
-            return self
-        return best
+        opt.setup(self.inputs, self.output, self.size_dict)
+        opt.explore_path(
+            self.get_ssa_path("surface_order"), restrict=order_only
+        )
+        opt.run(self.inputs, self.output, self.size_dict)
+        return self._rebuild_from_ssa(
+            opt.ssa_path, minimize, inplace
+        )
 
     compressed_reconfigure_ = functools.partialmethod(
         compressed_reconfigure, inplace=True
