@@ -60,6 +60,11 @@ S_MAX = 1024
 # only chosen when nothing smaller is feasible; the cost model
 # charges for operator size)
 S_HARD = 4096
+# cap on the OUTPUT window product: gates can grow the window (ny
+# bigger than c), and the dense operator scales S_in * S_out - an
+# uncapped expansion cluster materializes a multi-GB operator (8
+# doubling gates at S_in=4096 gave a 17 GB W2 before this cap)
+S_OUT_MAX = 4096
 # when splitting scattered gate axes into multiple windows: merge two
 # neighboring windows when the gap between them is at most this big
 GAP_MERGE = 8
@@ -600,6 +605,10 @@ def plan_window_chain(order0, sizes, gates, s_max=S_MAX):
         involved = set()
         pos_set = set()
         spans = None
+        span_total = 1
+        # running output-window product: span_total grown by each
+        # gate's ny/c dim ratio (exact: substitution is in-window)
+        out_num, out_den = 1, 1
         for (y_id, y_plan, c_legs, ny_legs, step_out) in pending:
             if taken >= MAX_CLUSTER_GATES:
                 break
@@ -617,20 +626,29 @@ def plan_window_chain(order0, sizes, gates, s_max=S_MAX):
             cand = pos_set | set(pos)
             if not cand:
                 # gate acts purely on axes created inside the cluster
-                new_spans = spans
+                new_spans, new_total = spans, span_total
             else:
-                new_spans, why = _choose_windows(
+                new_spans, new_total = _choose_windows(
                     cand, cur_order, sizes
                 )
                 if new_spans is None:
                     if taken:
                         break
-                    return None, why
-            spans = new_spans
-            pos_set = cand
-            involved |= set(c_legs) | set(ny_legs)
+                    return None, new_total
             k_dims = tuple(sizes[a] for a in c_legs)
             n_dims = tuple(sizes[a] for a in ny_legs)
+            nn = out_num * (prod(n_dims) or 1)
+            nd = out_den * (prod(k_dims) or 1)
+            # prospective S_out = new_total * nn / nd (exact division)
+            if new_total * nn > S_OUT_MAX * nd:
+                # output window would blow past the operator cap
+                if taken:
+                    break
+                return None, "gate expands window beyond S_OUT_MAX"
+            spans, span_total = new_spans, new_total
+            out_num, out_den = nn, nd
+            pos_set = cand
+            involved |= set(c_legs) | set(ny_legs)
             cluster.append(
                 (y_id, y_plan, tuple(c_legs), tuple(ny_legs),
                  k_dims, n_dims)
@@ -666,6 +684,9 @@ def plan_window_chain(order0, sizes, gates, s_max=S_MAX):
             return None, win_axes_out
         S_in = prod(win_dims0) if win_dims0 else 1
         S_out = recipe["S_out"]
+        if S_out > S_OUT_MAX:
+            # must match the growth-loop estimate; defensive only
+            return None, "recipe output window exceeds S_OUT_MAX"
 
         rec = WindowRec()
         # chain: cluster k consumes cluster k-1's output; the caller
