@@ -1273,10 +1273,10 @@ def _exec_steps_split(
             )
             # no exponent strip (see the inplace note below): chains
             # are near-unitary; surrounding matmul steps still strip
-            store(
-                rec.out_id, out, rec.out_shape, si,
-                (rec.x_id, *(g[0] for g in rec.gates)),
-            )
+            srcs = (rec.x_id, *(g[0] for g in rec.gates))
+            if getattr(rec, "w2_id", None) is not None:
+                srcs += (rec.w2_id,)
+            store(rec.out_id, out, rec.out_shape, si, srcs)
             continue
 
         if kind == "inplace":
@@ -1533,6 +1533,197 @@ def to_plane_array(a):
     return np.stack([a, np.zeros_like(a)])
 
 
+class _OpEntry:
+    """One hoisted window operator: the plan step it feeds, the gate
+    lineage subprogram producing the gate values, and the dynamically
+    sliced indices the operator value depends on."""
+
+    __slots__ = ("plan_idx", "rec", "w2_id", "dyn_inds", "lineage",
+                 "leaves", "stack_axes", "stack_dims")
+
+
+# lineage tensors above this size are not worth recomputing in the
+# operator program (and signal a non-gate-like producer)
+_HOIST_MAX_LINEAGE_NUMEL = 2 ** 16
+# cap on one hoisted operator STACK (all slice variants) in bytes
+_HOIST_MAX_STACK_BYTES = 2 ** 30
+
+
+def _plan_operator_hoist(plans, ir, storage, sizes, sel_axes, meta):
+    """Find window steps whose ``W2`` operator can be prebuilt outside
+    the per-slice program.
+
+    A window operator depends only on its gate tensors, which are tiny
+    and produced by a tiny lineage of preprocessing steps from the raw
+    inputs. Building ``W2`` in the per-slice program (a) recompiles the
+    one-hot expansion + mask construction into every stage that
+    contains a window step - measured as the dominant share of the
+    pathological minutes-long per-stage TPU compiles - and (b) reruns
+    it for every slice. Hoisting compiles the construction once as its
+    own tiny program and passes ``W2`` in as an argument.
+
+    Gates whose lineage touches dynamically sliced indices get a
+    STACKED operator (one ``W2`` per digit combination of exactly those
+    indices, typically 2-4), selected per-slice like any sliced input.
+
+    Returns a list of :class:`_OpEntry` (``w2_id`` unassigned).
+    """
+    def_out = {}
+    for pi, (kind, info) in enumerate(plans):
+        if kind == "single":
+            def_out[info.out] = pi
+        elif kind == "fallback":
+            def_out[info[0].out] = pi
+        else:
+            def_out[info.out_id] = pi
+
+    def numel_of(vid):
+        legs = storage.get(vid)
+        if legs is None:
+            return None
+        return prod(sizes[ix] for ix in legs) if legs else 1
+
+    entries = []
+    for pi, (kind, info) in enumerate(plans):
+        if kind != "window":
+            continue
+        rec = info
+        lineage = set()
+        leaves = set()
+        ok = True
+        stack = [y_id for (y_id, *_r) in rec.gates]
+        seen = set(stack)
+        while stack and ok:
+            vid = stack.pop()
+            ne = numel_of(vid)
+            if ne is None or ne > _HOIST_MAX_LINEAGE_NUMEL:
+                ok = False
+                break
+            if vid < ir.num_inputs:
+                leaves.add(vid)
+                continue
+            pj = def_out.get(vid)
+            if pj is None:
+                ok = False
+                break
+            k2, in2 = plans[pj]
+            if k2 == "single":
+                srcs = (in2.inp,)
+            elif k2 == "fallback":
+                srcs = (in2[1], in2[2])
+            elif k2 == "pair":
+                srcs = (in2.x_id, in2.y_id)
+            else:
+                ok = False
+                break
+            lineage.add(pj)
+            for s in srcs:
+                if s not in seen:
+                    seen.add(s)
+                    stack.append(s)
+        if not ok:
+            continue
+        dyn = sorted(
+            {
+                ix
+                for lf in leaves
+                for (_ax, ix) in sel_axes.get(lf, ())
+                if meta[ix][2] is None
+            },
+            key=str,
+        )
+        dims = tuple(meta[ix][1] for ix in dyn)
+        # W2 is (2*S_out, 2*S_in) f32: 16*S_in*S_out bytes per variant
+        stack_bytes = (
+            (prod(dims) if dims else 1) * 16 * rec.S_in * rec.S_out
+        )
+        if stack_bytes > _HOIST_MAX_STACK_BYTES:
+            continue
+        e = _OpEntry()
+        e.plan_idx = pi
+        e.rec = rec
+        e.w2_id = None
+        e.dyn_inds = tuple(dyn)
+        e.lineage = tuple(sorted(lineage))
+        e.leaves = tuple(sorted(leaves))
+        e.stack_dims = dims
+        # descending axis order: successive keepdims=False removals in
+        # _select_input stay valid (same convention as
+        # _sliced_axes_per_input)
+        e.stack_axes = tuple(
+            (j, ix) for j, ix in enumerate(dyn)
+        )[::-1]
+        entries.append(e)
+    return entries
+
+
+def _make_operator_build_fn(
+    entries, plans, in_shapes, sel_axes, meta, ax_off, plane_io,
+    plane_dtype, precision, pet,
+):
+    """The standalone window-operator program: raw input arrays ->
+    tuple of ``W2`` flats (stacked over slice-digit combos when the
+    operator is slice-dependent). Projected slice indices are applied
+    statically here; dynamic ones are enumerated and stacked."""
+    import itertools
+
+    from .windowed import build_w4
+
+    def op_build(*arrays):
+        pdt = _resolve_plane_dtype(plane_dtype, arrays)
+        outs = []
+        for e in entries:
+            rec = e.rec
+            pos_of = {ix: j for j, ix in enumerate(e.dyn_inds)}
+            variants = []
+            for combo in itertools.product(
+                *(range(d) for d in e.stack_dims)
+            ):
+                temps = {}
+                shapes = {}
+                for lf in e.leaves:
+                    a = arrays[lf]
+                    for ax, ix in sel_axes.get(lf, ()):
+                        _stride, _size, project = meta[ix]
+                        idx = (
+                            project
+                            if project is not None
+                            else combo[pos_of[ix]]
+                        )
+                        a = jax.lax.index_in_dim(
+                            a, int(idx), axis=ax + ax_off,
+                            keepdims=False,
+                        )
+                    temps[lf] = (
+                        jnp.ravel(a).astype(pdt)
+                        if plane_io
+                        else _to_planes(a, pdt)
+                    )
+                    shapes[lf] = in_shapes[lf]
+                if e.lineage:
+                    _exec_steps_split(
+                        plans, e.lineage, temps, shapes, {}, False,
+                        precision, pet, None, pdt,
+                    )
+                ys = [
+                    _apply_block_plan_split(
+                        temps[y_id], y_plan
+                    ).reshape(2, K, N)
+                    for (y_id, y_plan, K, N) in rec.gates
+                ]
+                variants.append(build_w4(rec.recipe, ys, pdt))
+            if e.stack_dims:
+                w = jnp.stack(variants).reshape(
+                    e.stack_dims + variants[0].shape
+                )
+            else:
+                w = variants[0]
+            outs.append(w)
+        return tuple(outs)
+
+    return op_build
+
+
 def make_grouped_staged_contractor(
     tree,
     stage_size=12,
@@ -1626,9 +1817,11 @@ def make_grouped_staged_contractor(
             if split_complex:
                 if first:
                     pdt = _resolve_plane_dtype(plane_dtype, carry)
+                    # hoisted W2 operators are already real block
+                    # embeddings: flatten, never plane-stack
                     temps = {
                         i: jnp.ravel(a).astype(pdt)
-                        if plane_io
+                        if (plane_io or i in w2_set)
                         else _to_planes(a, pdt)
                         for i, a in zip(carry_ids, carry)
                     }
@@ -1698,16 +1891,16 @@ def make_grouped_staged_contractor(
                         if i in batched:
                             sel.append(
                                 _select_input(
-                                    a, per_input[i], meta,
-                                    digits, ax_off,
+                                    a, sel_axes[i], meta,
+                                    digits, sel_off[i],
                                 )
                             )
                             continue
                         b = (
                             _select_input(
-                                a, per_input[i], meta, None, ax_off
+                                a, sel_axes[i], meta, None, sel_off[i]
                             )
-                            if per_input[i]
+                            if sel_axes[i]
                             else a
                         )
                         sel.append(
@@ -1740,8 +1933,8 @@ def make_grouped_staged_contractor(
         # RAW input arrays, inside the same jitted program
         def outer(carry, digits):
             sel = tuple(
-                _select_input(a, per_input[i], meta, digits, ax_off)
-                if per_input[i]
+                _select_input(a, sel_axes[i], meta, digits, sel_off[i])
+                if sel_axes[i]
                 else a
                 for i, a in zip(carry_ids, carry)
             )
@@ -1761,7 +1954,10 @@ def make_grouped_staged_contractor(
         if kind == "inplace":
             return (info.x_id, *(y[0] for y in info.ys)), info.out_id
         if kind == "window":
-            return (info.x_id, *(g[0] for g in info.gates)), info.out_id
+            srcs = (info.x_id, *(g[0] for g in info.gates))
+            if getattr(info, "w2_id", None) is not None:
+                srcs += (info.w2_id,)
+            return srcs, info.out_id
         step, x_id, y_id = info[0], info[1], info[2]
         return (x_id, y_id), step.out
 
@@ -1813,8 +2009,58 @@ def make_grouped_staged_contractor(
             if any(s in batched for s in srcs):
                 batched.add(out)
 
+    # per-id slice-selection metadata: leaf inputs use the tree's
+    # sliced axes (offset by the plane axis under plane_io); hoisted
+    # operator stacks use their own leading digit axes (no offset)
+    sel_axes = {
+        i: (per_input[i] if slice_batch else ())
+        for i in range(ir.num_inputs)
+    }
+    sel_off = {i: ax_off for i in range(ir.num_inputs)}
+
+    # -- hoist window operators out of the per-slice program ----------
+    # (their construction compiles as its own tiny program and usually
+    # runs once; per-slice stages keep only transposes + matmuls)
+    op_entries = []
+    op_build_j = None
+    w2_set = frozenset()
+    if gate_mode == "window" and os.environ.get(
+        "CTG_HOIST_W2", "1"
+    ) != "0":
+        op_entries = _plan_operator_hoist(
+            plans, ir, storage, sizes, sel_axes, meta
+        )
+    if op_entries:
+        base_id = max(storage) + 1
+        w2_ids = []
+        for k, e in enumerate(op_entries):
+            wid = base_id + k
+            e.w2_id = wid
+            e.rec.w2_id = wid
+            w2_ids.append(wid)
+            defined_at[wid] = -1
+            last_use[wid] = e.plan_idx
+            sel_axes[wid] = e.stack_axes
+            sel_off[wid] = 0
+            if e.dyn_inds:
+                batched.add(wid)
+        w2_set = frozenset(w2_ids)
+        if slice_batch:
+            # re-propagate slice-variance: a window output whose only
+            # slice dependence enters via its (hoisted) operator must
+            # still be batched
+            for si in range(n):
+                srcs, out = step_ids(si)
+                if any(s in batched for s in srcs):
+                    batched.add(out)
+        op_build = _make_operator_build_fn(
+            op_entries, plans, in_shapes, sel_axes, meta, ax_off,
+            plane_io, plane_dtype, precision, preferred_element_type,
+        )
+        op_build_j = _stage_jit(op_build) if autojit else op_build
+
     stages = []
-    carries = [list(range(ir.num_inputs))]
+    carries = [list(range(ir.num_inputs)) + sorted(w2_set)]
     for k in range(len(bounds) - 1):
         start, end = bounds[k], bounds[k + 1]
         carry_in = carries[-1]
@@ -1864,6 +2110,10 @@ def make_grouped_staged_contractor(
             digits = _ids_to_digits(slice_ids, meta)
             nb = digits.shape[0]
             carry = tuple(arrays)
+            if op_build_j is not None:
+                # separate tiny program: window operators built once
+                # per call, not once per slice per stage
+                carry = carry + tuple(op_build_j(*arrays))
             exponent = None
             for k, (sf, carry_out) in enumerate(stages):
                 if k == 0:
@@ -1892,6 +2142,8 @@ def make_grouped_staged_contractor(
 
     def fn(*arrays):
         carry = tuple(arrays)
+        if op_build_j is not None:
+            carry = carry + tuple(op_build_j(*arrays))
         exponent = None
         for k, (sf, carry_out) in enumerate(stages):
             if strip_exponent:

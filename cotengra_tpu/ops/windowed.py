@@ -95,6 +95,7 @@ class WindowRec:
         "sdims",          # multi: per-window S products, in order
         "out_order",      # stored order of the result (no plane)
         "out_shape",      # logical shape of the result
+        "w2_id",          # temp id of a HOISTED prebuilt W2 (or None)
     )
 
 
@@ -325,14 +326,27 @@ def exec_window(rec, temps, shapes, precision, plane_dtype):
     ``(2S', 2S) @ (2S, M)`` - non-prefix forms first rotate the window
     dims forward with a single fused transpose+reshape (pad-free: the
     trailing dim M = numel/S stays large).
-    """
-    ys = []
-    from .grouped import _apply_block_plan_split
 
-    for (y_id, y_plan, K, N) in rec.gates:
-        yf = _apply_block_plan_split(temps[y_id], y_plan)
-        ys.append(yf.reshape(2, K, N))
-    w2 = build_w4(rec.recipe, ys, plane_dtype)
+    When the planner hoisted this step's operator (``rec.w2_id`` set
+    and present in ``temps``), the prebuilt ``W2`` flat array is used
+    directly: the per-slice program then contains only the transpose +
+    matmul, with the operator construction compiled (and usually run)
+    ONCE in a separate tiny program - see
+    ``grouped._plan_operator_hoist``.
+    """
+    w2_id = getattr(rec, "w2_id", None)
+    if w2_id is not None and w2_id in temps:
+        w2 = temps[w2_id].reshape(2 * rec.S_out, 2 * rec.S_in)
+        if w2.dtype != jnp.dtype(plane_dtype):
+            w2 = w2.astype(plane_dtype)
+    else:
+        ys = []
+        from .grouped import _apply_block_plan_split
+
+        for (y_id, y_plan, K, N) in rec.gates:
+            yf = _apply_block_plan_split(temps[y_id], y_plan)
+            ys.append(yf.reshape(2, K, N))
+        w2 = build_w4(rec.recipe, ys, plane_dtype)
     # accumulate in f32 even under bf16 planes (the caller casts the
     # stored result back down)
     pet = (
@@ -563,6 +577,7 @@ def plan_rotation(order, sizes, axes, out_id):
         rec = WindowRec()
         rec.x_id = None
         rec.out_id = out_id
+        rec.w2_id = None
         rec.gates = ()
         rec.recipe = recipe
         rec.form = form
@@ -689,6 +704,7 @@ def plan_window_chain(order0, sizes, gates, s_max=S_MAX):
             return None, "recipe output window exceeds S_OUT_MAX"
 
         rec = WindowRec()
+        rec.w2_id = None
         # chain: cluster k consumes cluster k-1's output; the caller
         # fills in the first cluster's x (the chain's base tensor)
         rec.x_id = recs[-1].out_id if recs else None

@@ -35,8 +35,9 @@ def main():
     rng = np.random.default_rng(0)
 
     start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    stop = int(sys.argv[2]) if len(sys.argv) > 2 else len(plans)
     for pi, (kind, info) in enumerate(plans):
-        if pi < start:
+        if pi < start or pi >= stop:
             continue
         if kind == "window":
             rec = info
