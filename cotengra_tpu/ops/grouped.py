@@ -34,6 +34,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.misc import prod
 from .lowering import SingleStep
@@ -1659,18 +1660,24 @@ def _plan_operator_hoist(plans, ir, storage, sizes, sel_axes, meta):
 
 def _make_operator_build_fn(
     entries, plans, in_shapes, sel_axes, meta, ax_off, plane_io,
-    plane_dtype, precision, pet,
+    plane_dtype, precision, pet, leaf_ids,
 ):
-    """The standalone window-operator program: raw input arrays ->
-    tuple of ``W2`` flats (stacked over slice-digit combos when the
-    operator is slice-dependent). Projected slice indices are applied
-    statically here; dynamic ones are enumerated and stacked."""
+    """The standalone window-operator program: gate LEAF arrays (in
+    ``leaf_ids`` order) -> tuple of ``W2`` flats (stacked over
+    slice-digit combos when the operator is slice-dependent).
+    Projected slice indices are applied statically here; dynamic ones
+    are enumerated and stacked.
+
+    Taking only the (tiny) leaves keeps the program's inputs small
+    enough to run on the CPU backend - see the wiring in
+    :func:`make_grouped_staged_contractor`."""
     import itertools
 
     from .windowed import build_w4
 
-    def op_build(*arrays):
-        pdt = _resolve_plane_dtype(plane_dtype, arrays)
+    def op_build(*leaf_arrays):
+        arrays = dict(zip(leaf_ids, leaf_arrays))
+        pdt = _resolve_plane_dtype(plane_dtype, leaf_arrays)
         outs = []
         for e in entries:
             rec = e.rec
@@ -2053,11 +2060,46 @@ def make_grouped_staged_contractor(
                 srcs, out = step_ids(si)
                 if any(s in batched for s in srcs):
                     batched.add(out)
+        op_leaf_ids = tuple(
+            sorted({lf for e in op_entries for lf in e.leaves})
+        )
         op_build = _make_operator_build_fn(
             op_entries, plans, in_shapes, sel_axes, meta, ax_off,
             plane_io, plane_dtype, precision, preferred_element_type,
+            op_leaf_ids,
         )
-        op_build_j = _stage_jit(op_build) if autojit else op_build
+        # The build is tiny compute (gate leaves <= 2^16 numel) but its
+        # one-hot/mask graph compiles pathologically on TPU (227s
+        # measured for one 7-gate operator).  Build on the CPU backend
+        # - leaves pulled host-side, results pushed to the default
+        # device once per call - unless told otherwise.
+        hoist_backend = os.environ.get("CTG_HOIST_BACKEND", "cpu")
+        if (
+            autojit
+            and hoist_backend == "cpu"
+            and jax.default_backend() != "cpu"
+        ):
+            cpu_dev = jax.devices("cpu")[0]
+            op_build_c = jax.jit(op_build)
+
+            def op_build_j(*arrays):
+                leaves = tuple(
+                    np.asarray(arrays[i]) for i in op_leaf_ids
+                )
+                with jax.default_device(cpu_dev):
+                    outs = op_build_c(*leaves)
+                dev = jax.devices()[0]
+                return tuple(jax.device_put(o, dev) for o in outs)
+
+        else:
+            op_build_full = (
+                _stage_jit(op_build) if autojit else op_build
+            )
+
+            def op_build_j(*arrays):
+                return op_build_full(
+                    *(arrays[i] for i in op_leaf_ids)
+                )
 
     stages = []
     carries = [list(range(ir.num_inputs)) + sorted(w2_set)]
