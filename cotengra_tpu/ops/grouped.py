@@ -108,19 +108,52 @@ def _maybe_barrier(x):
     return x
 
 
+def _split_block_factors(block_dims, perm):
+    """Tile-friendly factoring of a block transpose.
+
+    XLA can still materialize the blocked/transposed forms at their
+    logical shapes (observed: layout assignment pushes the blocked
+    shape into the PRODUCER's output buffer, and the transposed copy
+    materializes when the compacting reshape is not a layout bitcast).
+    A small minor dim then tile-pads up to 64x - an 8 GB HBM blowup was
+    measured on the m=10 bench. Splitting any large trailing dim D into
+    (D//128, 128) makes both the source's and the transposed copy's
+    (8,128) tiles exact. Returns (shape, expanded_perm) with perm
+    positions offset by 1 for a leading plane dim kept at axis 0.
+    """
+    factors = [[d] for d in block_dims]
+
+    def ok(d):
+        return d >= 1024 and d % 128 == 0
+
+    # last STORAGE dim governs the blocked source's minor dims
+    if ok(block_dims[-1]):
+        factors[-1] = [block_dims[-1] // 128, 128]
+    # last PERMUTED dim governs the transposed copy's minor dims
+    lp = perm[-1]
+    if lp != len(block_dims) - 1 and ok(block_dims[lp]):
+        factors[lp] = [block_dims[lp] // 128, 128]
+    pos, k = [], 1
+    for fs in factors:
+        pos.append(tuple(range(k, k + len(fs))))
+        k += len(fs)
+    shape = tuple(f for fs in factors for f in fs)
+    eperm = tuple(p for b in perm for p in pos[b])
+    return shape, eperm
+
+
 def _apply_block_plan(flat, plan):
     if plan is None:
         return flat
     block_dims, perm = plan
-    t = flat.reshape(block_dims)
     # transpose + compacting 1-D reshape expressed as ONE lax.reshape
-    # (dimensions=perm): the blocked/transposed forms then live only
-    # inside one copy fusion and are never materialized in their (padded)
-    # tiled layouts. Two separate transpose/reshape ops (or a barrier
-    # before the compact reshape) can materialize an HBM temp with up to
-    # 64x padding when a small block lands in the minor dims - fatal
-    # under vmap slice batching.
-    out = jax.lax.reshape(t, (flat.size,), dimensions=perm)
+    # (dimensions=perm), with large trailing dims 128-split so any
+    # materialized intermediate is tile-exact (see _split_block_factors)
+    shape, eperm = _split_block_factors(block_dims, perm)
+    t = flat.reshape(shape)
+    out = jax.lax.reshape(
+        t, (flat.size,), dimensions=tuple(p - 1 for p in eperm)
+    )
     return _maybe_barrier(out)
 
 
@@ -1087,10 +1120,12 @@ def _apply_block_plan_split(flat, plan):
     if plan is None:
         return flat
     block_dims, perm = plan
-    t = flat.reshape((2,) + block_dims)
-    # single fused transpose+compact-reshape; see _apply_block_plan
+    # single fused transpose+compact-reshape, 128-split; see
+    # _apply_block_plan / _split_block_factors
+    shape, eperm = _split_block_factors(block_dims, perm)
+    t = flat.reshape((2,) + shape)
     out = jax.lax.reshape(
-        t, (flat.size,), dimensions=(0,) + tuple(p + 1 for p in perm)
+        t, (flat.size,), dimensions=(0,) + eperm
     )
     return _maybe_barrier(out)
 

@@ -29,8 +29,9 @@ layout and paying VPU arithmetic, we:
 - apply with ONE plain 2-D matmul ``W2 @ (2S, M)``. A prefix window
   (span starting at axis 0, plane-major) needs no data movement at
   all; other forms (suffix / interior / multi-span) first rotate the
-  window dims forward with a single fused transpose+reshape (pad-free:
-  the trailing dim ``M = numel/S`` stays large). The result is always
+  window dims forward with a single fused transpose+reshape, kept
+  pad-free by ordering the rest segments largest-last and 128-splitting
+  trailing dims (see ``exec_window``). The result is always
   plane-major with the window's output axes at the FRONT of the stored
   order - tracked host-side. Measured ~3.3 ms (prefix) and ~7 ms
   (transpose + dot) per 1.07 GB pass. The earlier multi-contracting-dim
@@ -91,8 +92,12 @@ class WindowRec:
         "recipe",         # static compose/expand program (see below)
         "form",           # "prefix" | "suffix" | "interior" | "multi"
         "A1", "S_in", "A2", "S_out",
-        "xdims",          # multi: full reshape dims (A0, S1, A1, ...)
-        "sdims",          # multi: per-window S products, in order
+        "xdims",          # non-prefix: full reshape dims (A0, S1, A1, ...)
+        "sdims",          # non-prefix: window dim indices, in span order
+        "rdims",          # non-prefix: rest dim indices in RESULT order
+                          # (ascending by size: the largest segment lands
+                          # minor in both the transpose copy and the
+                          # result storage order - tile-friendly)
         "out_order",      # stored order of the result (no plane)
         "out_shape",      # logical shape of the result
         "w2_id",          # temp id of a HOISTED prebuilt W2 (or None)
@@ -355,33 +360,42 @@ def exec_window(rec, temps, shapes, precision, plane_dtype):
         else jnp.dtype(plane_dtype)
     )
     xf = temps[rec.x_id]
-    A1, S_in, A2, S_out = rec.A1, rec.S_in, rec.A2, rec.S_out
+    S_in, S_out = rec.S_in, rec.S_out
     numel2 = xf.size
     M = numel2 // (2 * S_in)
     if rec.form == "prefix":
         x2 = xf.reshape(2 * S_in, M)
-    elif rec.form == "suffix":
-        x2 = jax.lax.reshape(
-            xf.reshape(2, A1, S_in), (2 * S_in, M),
-            dimensions=(0, 2, 1),
-        )
-    elif rec.form == "interior":
-        x2 = jax.lax.reshape(
-            xf.reshape(2, A1, S_in, A2), (2 * S_in, M),
-            dimensions=(0, 2, 1, 3),
-        )
-    else:  # multi: several disjoint windows move forward together
-        xv = xf.reshape((2,) + tuple(rec.xdims))
-        s_idx = set(rec.sdims)
+    else:
+        # suffix / interior / multi: rotate the window dims forward
+        # with one fused transpose+reshape. XLA materializes BOTH the
+        # source (often folded into the producer's output layout) and
+        # the transposed copy at their logical shapes, so each must end
+        # in tile-friendly dims: split any large trailing dim D into
+        # (D//128, 128) so the (8,128) tiles pad nothing (a small minor
+        # dim pads up to 32x - an 8 GB HBM blowup measured on m=10).
+        xdims, sdims, rdims = rec.xdims, rec.sdims, rec.rdims
+        factors = [[d] for d in xdims]
+
+        def split_ok(d):
+            return d >= 1024 and d % 128 == 0
+
+        # last STORAGE dim governs the source copy's minor dims
+        if split_ok(xdims[-1]):
+            factors[-1] = [xdims[-1] // 128, 128]
+        # last PERMUTED dim governs the transposed copy's minor dims
+        lp = rdims[-1] if rdims else sdims[-1]
+        if lp != len(xdims) - 1 and split_ok(xdims[lp]):
+            factors[lp] = [xdims[lp] // 128, 128]
+        pos, k = [], 1
+        for fs in factors:
+            pos.append(tuple(range(k, k + len(fs))))
+            k += len(fs)
         perm = (
             (0,)
-            + tuple(1 + i for i in rec.sdims)
-            + tuple(
-                1 + i
-                for i in range(len(rec.xdims))
-                if i not in s_idx
-            )
+            + tuple(p for i in sdims for p in pos[i])
+            + tuple(p for i in rdims for p in pos[i])
         )
+        xv = xf.reshape((2,) + tuple(f for fs in factors for f in fs))
         x2 = jax.lax.reshape(xv, (2 * S_in, M), dimensions=perm)
     out = jax.lax.dot_general(
         w2, x2,
@@ -451,8 +465,8 @@ def _choose_windows(pos_set, cur_order, sizes):
         del spans[bi + 1]
     if total > S_HARD:
         return None, "window product too large"
-    # no minor-dim guards needed: execution lowers every form to a
-    # fused transpose + 2-D matmul whose minor dim is numel/S (large)
+    # minor-dim safety is handled downstream: _fill_rec_dims orders the
+    # rest segments largest-last and exec_window 128-splits trailing dims
     return [tuple(s) for s in spans], total
 
 
@@ -504,41 +518,61 @@ def _select_form(spans, cur_order, sizes):
 
 
 def _fill_rec_dims(rec, form, spans_f, cur_order, sizes):
-    """Fill the execution-shape fields of ``rec`` for its form."""
+    """Fill the execution-shape fields of ``rec`` for its form.
+
+    Returns the non-window ("rest") axes in the RESULT storage order.
+    For the prefix form that is simply their current order (no data
+    movement). For every other form the rest segments are reordered
+    ascending by size, so the LARGEST segment becomes the minor dims
+    of both the materialized transpose and the stored result: on TPU a
+    small minor dim tile-pads up to 64x (a measured 32x / 8 GB blowup
+    on the m=10 bench), while trailing large dims pad nothing.
+    """
     n_ax = len(cur_order)
 
     def win_prod(lo, hi):
         return prod(sizes[a] for a in cur_order[lo:hi])
 
-    rec.xdims = rec.sdims = None
+    rec.xdims = rec.sdims = rec.rdims = None
+    rec.A1 = rec.A2 = None
     if form == "prefix":
         rec.A1 = 1
         rec.A2 = win_prod(spans_f[0][1], n_ax)
-    elif form == "suffix":
-        rec.A1 = win_prod(0, spans_f[0][0])
-        rec.A2 = 1
-    elif form == "interior":
-        rec.A1 = win_prod(0, spans_f[0][0])
-        rec.A2 = win_prod(spans_f[0][1], n_ax)
-    else:
-        # alternating dims (A0, S1, A1, S2, ..., [Alast]) with size-1
-        # A segments dropped; sdims = window dim indices
-        xdims = []
-        sidx = []
-        prev = 0
-        for lo, hi in spans_f:
-            a = win_prod(prev, lo)
-            if a != 1 or not xdims:
-                xdims.append(a)
-            sidx.append(len(xdims))
-            xdims.append(win_prod(lo, hi))
-            prev = hi
-        a = win_prod(prev, n_ax)
-        if a != 1:
+        return list(cur_order[spans_f[0][1]:])
+    # alternating dims (A0, S1, A1, S2, ..., [Alast]) with size-1
+    # A segments dropped; sdims = window dim indices
+    xdims = []
+    sidx = []
+    segs = {}  # rest xdims index -> axes of that segment
+    loose = []  # size-1 axes dropped from xdims (position-free)
+    prev = 0
+    for lo, hi in spans_f:
+        a = win_prod(prev, lo)
+        if a != 1 or not xdims:
+            segs[len(xdims)] = cur_order[prev:lo]
             xdims.append(a)
-        rec.xdims = tuple(xdims)
-        rec.sdims = tuple(sidx)
-        rec.A1 = rec.A2 = None
+        else:
+            loose.extend(cur_order[prev:lo])
+        sidx.append(len(xdims))
+        xdims.append(win_prod(lo, hi))
+        prev = hi
+    a = win_prod(prev, n_ax)
+    if a != 1:
+        segs[len(xdims)] = cur_order[prev:n_ax]
+        xdims.append(a)
+    else:
+        loose.extend(cur_order[prev:n_ax])
+    rec.xdims = tuple(xdims)
+    rec.sdims = tuple(sidx)
+    sset = set(sidx)
+    rdims = sorted(
+        (i for i in range(len(xdims)) if i not in sset),
+        key=lambda i: xdims[i],
+    )
+    rec.rdims = tuple(rdims)
+    rest = [a for i in rdims for a in segs.get(i, ())]
+    rest.extend(loose)
+    return rest
 
 
 def plan_rotation(order, sizes, axes, out_id):
@@ -582,11 +616,8 @@ def plan_rotation(order, sizes, axes, out_id):
         rec.recipe = recipe
         rec.form = form
         rec.S_in = rec.S_out = S
-        _fill_rec_dims(rec, form, spans_f, order, sizes)
-        inwin = set(win_axes0)
-        out_order = list(win_axes0) + [
-            a for a in order if a not in inwin
-        ]
+        rest = _fill_rec_dims(rec, form, spans_f, order, sizes)
+        out_order = list(win_axes0) + rest
         rec.out_order = tuple(out_order)
         rec.out_shape = tuple(sizes[a] for a in out_order)
         return rec, None
@@ -715,11 +746,10 @@ def plan_window_chain(order0, sizes, gates, s_max=S_MAX):
         rec.recipe = recipe
         rec.form = form
         rec.S_in, rec.S_out = S_in, S_out
-        _fill_rec_dims(rec, form, spans_f, cur_order, sizes)
+        rest = _fill_rec_dims(rec, form, spans_f, cur_order, sizes)
 
-        # result order: window-out axes first, then the rest in order
-        inwin = set(win_axes0)
-        rest = [a for a in cur_order if a not in inwin]
+        # result order: window-out axes first, then the rest segments
+        # (reordered largest-last by _fill_rec_dims - tile-friendly)
         out_order = list(win_axes_out) + rest
         rec.out_id = cluster_steps[-1][4]
         rec.out_order = tuple(out_order)
