@@ -1073,9 +1073,12 @@ static double fm_refine(const HG& g, std::vector<int>& part,
 }
 
 // one coarsening level by heavy-connectivity matching; returns the
-// coarse graph and the node map (fine -> coarse)
+// coarse graph and the node map (fine -> coarse). When `part` is
+// given, only nodes on the same side may match (V-cycle constraint:
+// the current partition projects exactly onto the coarse graph).
 static bool coarsen(const HG& g, HG& cg, std::vector<int>& cmap,
-                    XorShift& rng) {
+                    XorShift& rng,
+                    const std::vector<int>* part = nullptr) {
     cmap.assign(g.nv, -1);
     std::vector<int> order(g.nv);
     for (int v = 0; v < g.nv; ++v) order[v] = v;
@@ -1097,6 +1100,7 @@ static bool coarsen(const HG& g, HG& cg, std::vector<int>& cmap,
             for (long long p = g.eptr[e]; p < g.eptr[e + 1]; ++p) {
                 int v = g.pins[p];
                 if (v == u || cmap[v] >= 0) continue;
+                if (part && (*part)[v] != (*part)[u]) continue;
                 if (score[v] == 0.0) touched.push_back(v);
                 score[v] += s;
             }
@@ -1212,11 +1216,14 @@ static void grow_initial(const HG& g, std::vector<int>& part,
 // multilevel 2-way partition; returns cut value
 static double bisect(const HG& g0, std::vector<int>& part,
                      double frac0, double eps, XorShift& rng) {
-    // coarsening hierarchy
+    const int COARSE_LIMIT = 64;
+    double total = g0.total_weight();
+    double w0t = frac0 * total;
+
+    // ---- initial multilevel pass ------------------------------------
     std::vector<HG> levels;
     std::vector<std::vector<int>> maps;
     levels.push_back(g0);
-    const int COARSE_LIMIT = 64;
     while (levels.back().nv > COARSE_LIMIT) {
         HG cg;
         std::vector<int> cmap;
@@ -1226,16 +1233,14 @@ static double bisect(const HG& g0, std::vector<int>& part,
         maps.push_back(std::move(cmap));
     }
     HG& cg = levels.back();
-    double total = g0.total_weight();
-    double w0t = frac0 * total;
 
     // several initial tries + FM, keep best
     std::vector<int> bestp;
     double bestcut = -1;
-    for (int t = 0; t < 16; ++t) {
+    for (int t = 0; t < 32; ++t) {
         std::vector<int> p;
         grow_initial(cg, p, w0t, rng);
-        double c = fm_refine(cg, p, w0t, eps, 4, rng);
+        double c = fm_refine(cg, p, w0t, eps, 6, rng);
         if (bestcut < 0 || c < bestcut) { bestcut = c; bestp = p; }
     }
     part = bestp;
@@ -1245,7 +1250,51 @@ static double bisect(const HG& g0, std::vector<int>& part,
         for (int v = 0; v < levels[lvl].nv; ++v)
             fine[v] = part[maps[lvl][v]];
         part = std::move(fine);
-        bestcut = fm_refine(levels[lvl], part, w0t, eps, 3, rng);
+        bestcut = fm_refine(levels[lvl], part, w0t, eps, 4, rng);
+    }
+
+    // ---- V-cycles: re-coarsen under the partition constraint --------
+    // (matching only within sides, so the cut projects exactly), then
+    // refine back down. Each cycle sees a different random matching,
+    // giving FM fresh coarse-grain moves - the standard kahypar-style
+    // quality iteration.
+    for (int vc = 0; vc < 3; ++vc) {
+        std::vector<HG> lv;
+        std::vector<std::vector<int>> mp;
+        std::vector<std::vector<int>> pl;
+        lv.push_back(g0);
+        pl.push_back(part);
+        while (lv.back().nv > COARSE_LIMIT) {
+            HG cgi;
+            std::vector<int> cmap;
+            if (!coarsen(lv.back(), cgi, cmap, rng, &pl.back()))
+                break;
+            if (cgi.nv > (int)(0.95 * lv.back().nv)) break;
+            std::vector<int> cpart(cgi.nv, 0);
+            for (int v = 0; v < lv.back().nv; ++v)
+                cpart[cmap[v]] = pl.back()[v];
+            lv.push_back(std::move(cgi));
+            mp.push_back(std::move(cmap));
+            pl.push_back(std::move(cpart));
+        }
+        std::vector<int> p = pl.back();
+        fm_refine(lv.back(), p, w0t, eps, 6, rng);
+        double cut = -1;
+        for (int lvl = (int)mp.size() - 1; lvl >= 0; --lvl) {
+            std::vector<int> fine(lv[lvl].nv);
+            for (int v = 0; v < lv[lvl].nv; ++v)
+                fine[v] = p[mp[lvl][v]];
+            p = std::move(fine);
+            cut = fm_refine(lv[lvl], p, w0t, eps, 4, rng);
+        }
+        if (cut < 0)
+            cut = fm_refine(g0, p, w0t, eps, 1, rng);
+        if (cut < bestcut - 1e-12) {
+            bestcut = cut;
+            part = std::move(p);
+        } else {
+            break;  // converged
+        }
     }
     return bestcut;
 }
