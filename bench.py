@@ -184,17 +184,21 @@ def main():
     # gate-chain executor: "window" (MXU dot_generals, round-3 default),
     # "inplace" (round-2 pallas kernels), or "none"
     gm = os.environ.get("BENCH_GATE_MODE", "auto")
-    core = make_grouped_staged_contractor(
-        tree,
-        stage_size=ss,
-        fuse_gates=fg,
-        split_complex=True,
-        plane_io=True,
-        plane_dtype=jnp.dtype(pdt) if pdt else None,
-        slice_batch=sb if nsl > 1 else None,
-        slice_batch_mode=mode,
-        gate_mode=None if gm == "none" else gm,
-    )
+
+    def build_core(stage_size):
+        return make_grouped_staged_contractor(
+            tree,
+            stage_size=stage_size,
+            fuse_gates=fg,
+            split_complex=True,
+            plane_io=True,
+            plane_dtype=jnp.dtype(pdt) if pdt else None,
+            slice_batch=sb if nsl > 1 else None,
+            slice_batch_mode=mode,
+            gate_mode=None if gm == "none" else gm,
+        )
+
+    core = build_core(ss)
     planes = [jnp.asarray(to_plane_array(a)) for a in arrays]
     if nsl > 1:
         id_batches = [
@@ -216,7 +220,21 @@ def main():
         def run_pass():
             return np.asarray(core(*planes))
 
-    amp0 = run_pass()  # compile + warmup + correctness anchor
+    try:
+        amp0 = run_pass()  # compile + warmup + correctness anchor
+    except Exception as e:  # remote-compile helper can be OOM-killed
+        # (observed: "tpu_compile_helper subprocess exit signal SIGKILL")
+        # on large stage programs; retry once with much smaller stages
+        if ss <= 8:
+            raise
+        print(
+            f"# compile failed ({type(e).__name__}: {e}); "
+            "retrying with 8-step stages",
+            file=sys.stderr,
+        )
+        ss = 8
+        core = build_core(ss)
+        amp0 = run_pass()
     if not np.all(np.isfinite(amp0)) or not np.any(amp0):
         print("# FATAL: warmup amplitude not finite/nonzero", file=sys.stderr)
         sys.exit(1)
