@@ -53,6 +53,52 @@ def test_lattice_bisection_quality():
 
 
 @needs_native
+def test_lattice_cut_beats_label_propagation():
+    """Direct cut-quality comparison on a structured graph: the
+    multilevel partitioner should find (weighted-)cuts at least as
+    good as label propagation, best-of-4 seeds each (the reference's
+    kahypar-vs-labels quality ordering, `hyper.py:30-41`)."""
+    from cotengra_tpu.pathfinders.labels import (
+        label_propagation_partition,
+    )
+
+    inputs, output, shapes, size_dict = lattice_equation(
+        [8, 8], d_max=2, seed=0
+    )
+    subset = list(range(len(inputs)))
+    ix_holders = collections.defaultdict(list)
+    for i, term in enumerate(inputs):
+        for ix in term:
+            ix_holders[ix].append(i)
+
+    def cut_of(m):
+        return sum(
+            1
+            for hs in ix_holders.values()
+            if len(hs) >= 2 and len({m[h] for h in hs}) > 1
+        )
+
+    best_ctg = min(
+        cut_of(
+            ctgpart_partition(
+                subset, inputs, size_dict, parts=2,
+                imbalance=0.05, seed=s,
+            )
+        )
+        for s in range(4)
+    )
+    best_lab = min(
+        cut_of(
+            label_propagation_partition(
+                subset, inputs, size_dict, parts=2, seed=s,
+            )
+        )
+        for s in range(4)
+    )
+    assert best_ctg <= best_lab
+
+
+@needs_native
 @pytest.mark.parametrize("parts", [2, 3, 4, 7])
 def test_kway_membership(parts):
     inputs, output, shapes, size_dict = rand_equation(
