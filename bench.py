@@ -42,6 +42,37 @@ def main():
         pass
     import jax.numpy as jnp
 
+    # -- fail fast if the device is wedged --------------------------------
+    # A wedged axon tunnel hangs inside C++ on the first device op with
+    # no Python-level recourse; without this guard the driver's bench
+    # run blocks forever instead of recording a clear failure.
+    import threading
+
+    wd_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "600"))
+    if wd_s > 0:
+        def _probe_died():
+            print(
+                f"# FATAL: device liveness probe exceeded {wd_s:.0f}s "
+                "- TPU tunnel wedged; no measurement possible",
+                file=sys.stderr,
+            )
+            sys.stderr.flush()
+            os._exit(3)
+
+        _wd = threading.Timer(wd_s, _probe_died)
+        _wd.daemon = True
+        _wd.start()
+        import numpy as _np
+
+        _x = jnp.ones((256, 256), jnp.float32)
+        _v = _np.asarray(_x @ _x)
+        assert _np.isfinite(_v).all() and _v[0, 0] == 256.0
+        _wd.cancel()
+        print(
+            f"# device probe ok ({jax.devices()[0].platform})",
+            file=sys.stderr,
+        )
+
     from cotengra_tpu.models.circuits import rand_circuit_tn
     from cotengra_tpu.pathfinders.basic import (
         optimize_random_greedy_track_flops,
