@@ -68,8 +68,13 @@ from .tree_compressed import ContractionTreeCompressed
 from .tree_multi import ContractionTreeMulti
 from .models.instances import (
     lattice_equation,
+    make_arrays_from_eq,
+    make_arrays_from_inputs,
+    make_rand_size_dict_from_inputs,
+    make_shapes_from_inputs,
     perverse_equation,
     rand_equation,
+    rand_tree,
     randreg_equation,
     tree_equation,
 )
@@ -249,8 +254,13 @@ __all__ = [
     "optimize_random_greedy_track_flops",
     "optimize_simplify",
     "PathOptimizer",
+    "make_arrays_from_eq",
+    "make_arrays_from_inputs",
+    "make_rand_size_dict_from_inputs",
+    "make_shapes_from_inputs",
     "perverse_equation",
     "rand_equation",
+    "rand_tree",
     "randreg_equation",
     "RandomGreedyOptimizer",
     "RandomOptimizer",

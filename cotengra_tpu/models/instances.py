@@ -239,3 +239,87 @@ def lattice_equation(dims, cyclic=False, d_min=2, d_max=None, seed=None):
             inputs[site_id[nxt]].append(ix)
 
     return _finalize(inputs, [], size_dict)
+
+
+def make_rand_size_dict_from_inputs(inputs, d_min=2, d_max=3, seed=None):
+    """Random index-size dictionary for given input terms (reference
+    capability: ``cotengra/utils.py:1196``)."""
+    rng = get_rng(seed)
+    size_dict = {}
+    for term in inputs:
+        for ix in term:
+            if ix not in size_dict:
+                size_dict[ix] = rng.randint(d_min, d_max)
+    return size_dict
+
+
+def make_shapes_from_inputs(inputs, size_dict):
+    """Shapes matching ``inputs`` under ``size_dict`` (reference
+    capability: ``cotengra/utils.py:1230``)."""
+    return [tuple(size_dict[ix] for ix in term) for term in inputs]
+
+
+def make_arrays_from_inputs(
+    inputs, size_dict, seed=None, dtype="float64"
+):
+    """Example numpy arrays matching ``inputs`` under ``size_dict``
+    (reference capability: ``cotengra/utils.py:1252``)."""
+    import numpy as np
+
+    rng = np.random.default_rng(
+        seed if isinstance(seed, int) or seed is None else None
+    )
+    arrays = []
+    for shape in make_shapes_from_inputs(inputs, size_dict):
+        x = rng.normal(size=shape)
+        if "complex" in dtype:
+            x = x + 1j * rng.normal(size=shape)
+        arrays.append(x.astype(dtype))
+    return arrays
+
+
+def make_arrays_from_eq(
+    eq, d_min=2, d_max=3, seed=None, size_dict=None, dtype="float64"
+):
+    """Example arrays directly from an einsum equation (reference
+    capability: ``cotengra/utils.py:1287``)."""
+    from ..utils.eqs import eq_to_inputs_output
+
+    inputs, _ = eq_to_inputs_output(eq)
+    if size_dict is None:
+        size_dict = make_rand_size_dict_from_inputs(
+            inputs, d_min=d_min, d_max=d_max, seed=seed
+        )
+    return make_arrays_from_inputs(
+        inputs, size_dict, seed=seed, dtype=dtype
+    )
+
+
+def rand_tree(
+    n,
+    reg,
+    n_out=0,
+    n_hyper_in=0,
+    n_hyper_out=0,
+    d_min=2,
+    d_max=3,
+    seed=None,
+    optimize="greedy",
+):
+    """A random :class:`ContractionTree` over a random equation
+    (reference capability: ``cotengra/utils.py:997``)."""
+    from ..interface import array_contract_tree
+
+    inputs, output, shapes, size_dict = rand_equation(
+        n,
+        reg,
+        n_out=n_out,
+        n_hyper_in=n_hyper_in,
+        n_hyper_out=n_hyper_out,
+        d_min=d_min,
+        d_max=d_max,
+        seed=seed,
+    )
+    return array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize=optimize
+    )

@@ -232,3 +232,38 @@ def test_plot_flat_and_rubberband_distinct():
     # the flat layout is a dendrogram by contraction order: its node
     # heights differ from the tent layout's extent-based heights
     plt.close("all")
+
+
+def test_make_arrays_utilities():
+    """Reference capability: cotengra/utils.py:997-1340 (rand_tree,
+    make_rand_size_dict_from_inputs, make_shapes_from_inputs,
+    make_arrays_from_{inputs,eq})."""
+    import numpy as np
+
+    import cotengra_tpu as ctg
+
+    inputs = [["a", "b"], ["b", "c"], ["c", "a"]]
+    sd = ctg.make_rand_size_dict_from_inputs(inputs, 2, 4, seed=0)
+    assert set(sd) == {"a", "b", "c"}
+    assert all(2 <= d <= 4 for d in sd.values())
+    shapes = ctg.make_shapes_from_inputs(inputs, sd)
+    assert shapes[0] == (sd["a"], sd["b"])
+    arrs = ctg.make_arrays_from_inputs(inputs, sd, seed=1)
+    assert [a.shape for a in arrs] == shapes
+    # deterministic under the same seed
+    arrs2 = ctg.make_arrays_from_inputs(inputs, sd, seed=1)
+    assert all(np.array_equal(x, y) for x, y in zip(arrs, arrs2))
+    # from-eq variant, complex dtype
+    arrs3 = ctg.make_arrays_from_eq("ab,bc->ac", seed=2,
+                                    dtype="complex128")
+    assert arrs3[0].dtype == np.complex128
+    assert arrs3[0].shape[1] == arrs3[1].shape[0]
+
+
+def test_rand_tree():
+    import cotengra_tpu as ctg
+
+    tree = ctg.rand_tree(10, 3, n_out=2, seed=3)
+    assert tree.N == 10
+    assert tree.is_complete()
+    assert len(tree.output) == 2
