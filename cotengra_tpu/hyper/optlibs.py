@@ -607,6 +607,261 @@ class SkoptOptLib(HyperOptLib):
 register_hyper_optlib("cmaes", CMAESOptLib)
 
 
+class DifferentialEvolutionOptLib(HyperOptLib):
+    """DE/rand/1/bin per method, in the unit-mapped space.
+
+    In-house sampler filling the role of the reference's experimental
+    DE optlib (``/root/reference/cotengra/experimental/hyper_de.py``:
+    population of vectors, rand/1 mutation ``r0 + F*(r1 - r2)``,
+    binomial crossover, greedy one-to-one selection). Reworked for this
+    package's ask/tell protocol: rather than synchronous generations,
+    each ask targets the next population slot round-robin and each tell
+    resolves against its recorded slot (steady-state DE) — tolerant of
+    out-of-order completion under parallel search.
+
+    Parameters
+    ----------
+    popsize : int or "auto"
+        Population size per method ("auto": ``max(8, min(4*d, 20))``).
+    mutation : float
+        Differential weight F.
+    crossover : float
+        Binomial crossover probability CR.
+    mutation_decay : float
+        Multiplied into F each time the target cursor wraps around the
+        population (anneal toward exploitation).
+    mutation_min : float
+        Floor for the decayed F.
+    """
+
+    def __init__(
+        self,
+        methods,
+        spaces,
+        constants,
+        seed=None,
+        popsize="auto",
+        mutation=0.7,
+        crossover=0.8,
+        mutation_decay=0.99,
+        mutation_min=0.2,
+    ):
+        super().__init__(methods, spaces, constants, seed=seed)
+        self.crossover = crossover
+        self.mutation_decay = mutation_decay
+        self.mutation_min = mutation_min
+        self._names = {}
+        self._pop = {}
+        self._scores = {}
+        self._pending = {}  # (method, params key) -> [(slot, vec)]
+        self._cursor = {}
+        self._seeded = {}
+        self._mutation = {}
+        for m in self.methods:
+            names = sorted(spaces.get(m, ()))
+            d = len(names)
+            p = (
+                max(8, min(4 * d, 20))
+                if popsize == "auto"
+                else max(int(popsize), 4)
+            )
+            self._names[m] = names
+            self._pop[m] = [
+                tuple(self.rng.random() for _ in names) for _ in range(p)
+            ]
+            self._scores[m] = [float("inf")] * p
+            self._cursor[m] = 0
+            self._seeded[m] = 0
+            self._mutation[m] = mutation
+
+    def _params_of(self, method, vec):
+        space = self.spaces[method]
+        return {
+            name: _from_unit(space[name], u)
+            for name, u in zip(self._names[method], vec)
+        }
+
+    def _key_of(self, method, params):
+        space = self.spaces.get(method, {})
+        return (
+            method,
+            tuple(sorted((k, v) for k, v in params.items() if k in space)),
+        )
+
+    def _propose(self, method, slot):
+        pop = self._pop[method]
+        f = self._mutation[method]
+        others = [i for i in range(len(pop)) if i != slot]
+        r0, r1, r2 = self.rng.sample(others, 3)
+        target = pop[slot]
+        d = len(target)
+        j_rand = self.rng.randrange(d) if d else 0
+        vec = []
+        for k in range(d):
+            if k == j_rand or self.rng.random() < self.crossover:
+                v = pop[r0][k] + f * (pop[r1][k] - pop[r2][k])
+                vec.append(min(max(v, 0.0), 1.0))
+            else:
+                vec.append(target[k])
+        return tuple(vec)
+
+    def ask(self):
+        method = self.choose_method()
+        pop = self._pop[method]
+        if self._seeded[method] < len(pop):
+            slot = self._seeded[method]
+            self._seeded[method] += 1
+            vec = pop[slot]
+        else:
+            slot = self._cursor[method]
+            self._cursor[method] = (slot + 1) % len(pop)
+            if self._cursor[method] == 0:
+                self._mutation[method] = max(
+                    self._mutation[method] * self.mutation_decay,
+                    self.mutation_min,
+                )
+            vec = self._propose(method, slot)
+        params = self._params_of(method, vec)
+        key = self._key_of(method, params)
+        self._pending.setdefault(key, []).append((slot, vec))
+        return method, {**self.constants.get(method, {}), **params}
+
+    def tell(self, method, params, score):
+        super().tell(method, params, score)
+        waiting = self._pending.get(self._key_of(method, params))
+        if not waiting:
+            return
+        slot, vec = waiting.pop()
+        if not waiting:
+            del self._pending[self._key_of(method, params)]
+        # greedy one-to-one selection
+        if score < self._scores[method][slot]:
+            self._scores[method][slot] = score
+            self._pop[method][slot] = vec
+
+
+class ParallelEvolutionOptLib(HyperOptLib):
+    """Parallel (1+1)-ES workers with rank-assigned perturbation scales.
+
+    In-house sampler filling the role of the reference's experimental
+    PE optlib (``/root/reference/cotengra/experimental/hyper_pe.py``):
+    each of ``popsize`` workers hill-climbs its own solution; after
+    every full cycle the per-worker Gaussian sigmas are reassigned by
+    rank — the best worker gets ``sigma_min`` (exploit), the worst
+    ``sigma_max`` (explore) — and workers stuck past ``patience``
+    cycles are re-randomized. Steady-state / async-tolerant like
+    :class:`DifferentialEvolutionOptLib`.
+    """
+
+    def __init__(
+        self,
+        methods,
+        spaces,
+        constants,
+        seed=None,
+        popsize=8,
+        sigma_min=0.02,
+        sigma_max=0.4,
+        patience=20,
+    ):
+        super().__init__(methods, spaces, constants, seed=seed)
+        self.popsize = max(int(popsize), 2)
+        self.sigma_min = sigma_min
+        self.sigma_max = sigma_max
+        self.patience = patience
+        self._names = {m: sorted(spaces.get(m, ())) for m in methods}
+        self._pop = {}
+        self._scores = {}
+        self._sigmas = {}
+        self._stale = {}
+        self._pending = {}
+        self._cursor = {}
+        self._seeded = {}
+        for m in self.methods:
+            names = self._names[m]
+            self._pop[m] = [
+                tuple(self.rng.random() for _ in names)
+                for _ in range(self.popsize)
+            ]
+            self._scores[m] = [float("inf")] * self.popsize
+            # log-spaced sigma ladder, one rung per worker
+            self._sigmas[m] = [
+                math.exp(
+                    math.log(sigma_min)
+                    + (math.log(sigma_max) - math.log(sigma_min))
+                    * k
+                    / max(self.popsize - 1, 1)
+                )
+                for k in range(self.popsize)
+            ]
+            self._stale[m] = [0] * self.popsize
+            self._cursor[m] = 0
+            self._seeded[m] = 0
+
+    _params_of = DifferentialEvolutionOptLib._params_of
+    _key_of = DifferentialEvolutionOptLib._key_of
+
+    def _reassign_sigmas(self, method):
+        """Best worker -> smallest sigma; re-randomize stuck workers."""
+        scores = self._scores[method]
+        order = sorted(range(self.popsize), key=lambda i: scores[i])
+        ladder = sorted(self._sigmas[method])
+        sig = [0.0] * self.popsize
+        for rank, i in enumerate(order):
+            sig[i] = ladder[rank]
+        self._sigmas[method] = sig
+        if self.patience:
+            names = self._names[method]
+            for i in range(self.popsize):
+                if self._stale[method][i] >= self.patience:
+                    self._pop[method][i] = tuple(
+                        self.rng.random() for _ in names
+                    )
+                    self._scores[method][i] = float("inf")
+                    self._stale[method][i] = 0
+
+    def ask(self):
+        method = self.choose_method()
+        pop = self._pop[method]
+        if self._seeded[method] < len(pop):
+            slot = self._seeded[method]
+            self._seeded[method] += 1
+            vec = pop[slot]
+        else:
+            slot = self._cursor[method]
+            self._cursor[method] = (slot + 1) % len(pop)
+            if self._cursor[method] == 0:
+                self._reassign_sigmas(method)
+            s = self._sigmas[method][slot]
+            vec = tuple(
+                min(max(u + self.rng.gauss(0.0, s), 0.0), 1.0)
+                for u in pop[slot]
+            )
+        params = self._params_of(method, vec)
+        key = self._key_of(method, params)
+        self._pending.setdefault(key, []).append((slot, vec))
+        return method, {**self.constants.get(method, {}), **params}
+
+    def tell(self, method, params, score):
+        super().tell(method, params, score)
+        waiting = self._pending.get(self._key_of(method, params))
+        if not waiting:
+            return
+        slot, vec = waiting.pop()
+        if not waiting:
+            del self._pending[self._key_of(method, params)]
+        if score < self._scores[method][slot]:
+            self._scores[method][slot] = score
+            self._pop[method][slot] = vec
+            self._stale[method][slot] = 0
+        else:
+            self._stale[method][slot] += 1
+
+
+register_hyper_optlib("de", DifferentialEvolutionOptLib)
+register_hyper_optlib("pe", ParallelEvolutionOptLib)
+
+
 def register_optional_optlibs():
     try:
         import optuna  # noqa: F401

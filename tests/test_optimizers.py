@@ -179,7 +179,7 @@ def test_parallel_temper():
     assert t2.total_flops() <= tree.total_flops() * 1.001
 
 
-@pytest.mark.parametrize("optlib", ["random", "evo"])
+@pytest.mark.parametrize("optlib", ["random", "evo", "de", "pe"])
 def test_hyper_optimizer(optlib):
     inputs, output, shapes, size_dict = ctg.rand_equation(24, 3, seed=8)
     opt = ctg.HyperOptimizer(

@@ -374,3 +374,109 @@ def test_evolution_optlib_ignores_inf_scores():
     m, params = lib.ask()
     lib.tell(m, params, float("inf"))
     assert lib.pop["m"] == []  # failed trials never enter the elite
+
+
+def test_de_optlib_converges():
+    """The in-house DE/rand/1/bin sampler homes in on a smooth
+    landscape's optimum (deterministic with the fixed seed)."""
+    from cotengra_tpu.hyper.optlibs import DifferentialEvolutionOptLib
+
+    space = {
+        f"p{i}": {"type": "FLOAT", "min": 0.0, "max": 1.0}
+        for i in range(4)
+    }
+    at = {"p0": 0.2, "p1": 0.8, "p2": 0.4, "p3": 0.6}
+    lib = DifferentialEvolutionOptLib(
+        ["m"], {"m": space}, {"m": {}}, seed=0
+    )
+    best = math.inf
+    for _ in range(300):
+        m, params = lib.ask()
+        s = sum((params[k] - at[k]) ** 2 for k in at)
+        best = min(best, s)
+        lib.tell(m, params, s)
+    assert best < 0.02
+    # every tell resolved its pending slot
+    assert not lib._pending
+    # population scores are the best seen per slot, all finite now
+    assert all(math.isfinite(s) for s in lib._scores["m"])
+
+
+def test_de_optlib_selection_is_one_to_one():
+    """A worse trial must NOT replace its target slot."""
+    from cotengra_tpu.hyper.optlibs import DifferentialEvolutionOptLib
+
+    space = {"p": {"type": "FLOAT", "min": 0.0, "max": 1.0}}
+    lib = DifferentialEvolutionOptLib(
+        ["m"], {"m": space}, {"m": {}}, seed=1
+    )
+    # seed the full population with known scores
+    seeds = [lib.ask() for _ in range(len(lib._pop["m"]))]
+    for k, (m, params) in enumerate(seeds):
+        lib.tell(m, params, float(k))
+    pop0 = list(lib._pop["m"])
+    # next ask targets slot 0 (score 0.0); a worse score must not evict
+    m, params = lib.ask()
+    lib.tell(m, params, 100.0)
+    assert lib._pop["m"][0] == pop0[0]
+    assert lib._scores["m"][0] == 0.0
+
+
+def test_de_optlib_out_of_order_tells():
+    """Parallel search returns results out of order; pending bookkeeping
+    must resolve each to its own slot."""
+    from cotengra_tpu.hyper.optlibs import DifferentialEvolutionOptLib
+
+    space = {"p": {"type": "FLOAT", "min": 0.0, "max": 1.0}}
+    lib = DifferentialEvolutionOptLib(
+        ["m"], {"m": space}, {"m": {}}, seed=2
+    )
+    asked = [lib.ask() for _ in range(5)]
+    for m, params in reversed(asked):
+        lib.tell(m, params, params["p"])
+    assert sum(len(v) for v in lib._pending.values()) == 0
+
+
+def test_pe_optlib_converges():
+    """The ranked-sigma parallel-evolution sampler hill-climbs to the
+    optimum."""
+    from cotengra_tpu.hyper.optlibs import ParallelEvolutionOptLib
+
+    space = {
+        f"p{i}": {"type": "FLOAT", "min": 0.0, "max": 1.0}
+        for i in range(3)
+    }
+    at = {"p0": 0.3, "p1": 0.7, "p2": 0.5}
+    lib = ParallelEvolutionOptLib(
+        ["m"], {"m": space}, {"m": {}}, seed=0
+    )
+    best = math.inf
+    for _ in range(300):
+        m, params = lib.ask()
+        s = sum((params[k] - at[k]) ** 2 for k in at)
+        best = min(best, s)
+        lib.tell(m, params, s)
+    assert best < 0.02
+    # sigma ladder stays a permutation of the original rungs
+    assert len(set(lib._sigmas["m"])) == lib.popsize
+
+
+def test_pe_optlib_reassigns_sigma_by_rank():
+    from cotengra_tpu.hyper.optlibs import ParallelEvolutionOptLib
+
+    space = {"p": {"type": "FLOAT", "min": 0.0, "max": 1.0}}
+    lib = ParallelEvolutionOptLib(
+        ["m"], {"m": space}, {"m": {}}, seed=3, popsize=4
+    )
+    # seed all workers: worker k gets score k
+    for k in range(4):
+        m, params = lib.ask()
+        lib.tell(m, params, float(k))
+    # drive one full proposal cycle to trigger reassignment
+    for _ in range(5):
+        m, params = lib.ask()
+        lib.tell(m, params, 50.0)
+    sig = lib._sigmas["m"]
+    # the best worker (slot 0) must hold the smallest sigma
+    assert sig[0] == min(sig)
+    assert sig[3] == max(sig)
