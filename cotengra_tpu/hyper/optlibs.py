@@ -862,6 +862,171 @@ register_hyper_optlib("de", DifferentialEvolutionOptLib)
 register_hyper_optlib("pe", ParallelEvolutionOptLib)
 
 
+class _ScipyStop(Exception):
+    """Raised inside the objective to abort a scipy optimizer thread."""
+
+
+class _ScipyWorker:
+    """One scipy global optimizer run, inverted into ask/tell.
+
+    The optimizer runs in a daemon thread; every objective evaluation
+    posts its candidate to ``ask_q`` and blocks on ``tell_q``. The
+    queues hold at most one item each, so claiming from ``ask_q``
+    reserves the worker until its score is told back.
+    """
+
+    def __init__(self, optimizer, ndim, seed, kwargs):
+        import queue
+        import threading
+
+        self.optimizer = optimizer
+        self.ndim = ndim
+        self.seed = seed
+        self.kwargs = kwargs
+        self.ask_q = queue.Queue(maxsize=1)
+        self.tell_q = queue.Queue(maxsize=1)
+        self.stop = threading.Event()
+        self.done = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _objective(self, x):
+        if self.stop.is_set():
+            raise _ScipyStop
+        self.ask_q.put(tuple(float(v) for v in x))
+        val = self.tell_q.get()
+        if val is None or self.stop.is_set():
+            raise _ScipyStop
+        return float(val)
+
+    def _run(self):
+        try:
+            from scipy import optimize
+
+            fn = getattr(optimize, self.optimizer)
+            bounds = [(0.0, 1.0)] * self.ndim
+            kw = dict(self.kwargs)
+            # stochastic optimizers take a seed; direct/shgo do not
+            if self.optimizer in (
+                "differential_evolution",
+                "dual_annealing",
+            ):
+                kw.setdefault("seed", self.seed)
+            fn(self._objective, bounds, **kw)
+        except (_ScipyStop, Exception):  # noqa: BLE001 - contain worker
+            pass
+        finally:
+            self.done = True
+
+    def close(self):
+        self.stop.set()
+        try:
+            self.tell_q.put_nowait(None)  # unblock a waiting objective
+        except Exception:
+            pass
+
+
+class ScipyOptLib(HyperOptLib):
+    """Gated adapter over scipy's gradient-free global optimizers.
+
+    Fills the reference's experimental scipy optlib slot
+    (``/root/reference/cotengra/experimental/hyper_scipy.py``): the
+    callback-style scipy optimizers (``dual_annealing``,
+    ``differential_evolution``, ``direct``, ``shgo``) are inverted into
+    this package's ask/tell protocol by running each in a worker thread
+    that trades candidates through size-1 queues. Several workers per
+    method are spawned on demand so the driver's parallel pre-dispatch
+    (ask-ask-...-tell-tell) never deadlocks on a single blocked
+    optimizer.
+    """
+
+    def __init__(
+        self,
+        methods,
+        spaces,
+        constants,
+        seed=None,
+        optimizer="dual_annealing",
+        max_workers=8,
+        **scipy_kwargs,
+    ):
+        super().__init__(methods, spaces, constants, seed=seed)
+        self.optimizer = optimizer
+        self.max_workers = max_workers
+        self.scipy_kwargs = scipy_kwargs
+        self._names = {m: sorted(spaces.get(m, ())) for m in methods}
+        self._workers = {m: [] for m in methods}
+        self._pending = {}  # (method, params key) -> [(worker, vec)]
+
+    _params_of = DifferentialEvolutionOptLib._params_of
+    _key_of = DifferentialEvolutionOptLib._key_of
+
+    def _claim_ask(self, method):
+        """Claim a posted candidate from any live worker, spawning a new
+        worker when none has one ready."""
+        import queue as _q
+
+        live = [w for w in self._workers[method] if not w.done]
+        self._workers[method] = live
+        for w in live:
+            try:
+                return w, w.ask_q.get_nowait()
+            except _q.Empty:
+                continue
+        if len(live) < self.max_workers:
+            w = _ScipyWorker(
+                self.optimizer,
+                len(self._names[method]),
+                self.rng.randrange(2**31),
+                self.scipy_kwargs,
+            )
+            self._workers[method].append(w)
+            try:
+                return w, w.ask_q.get(timeout=10.0)
+            except _q.Empty:
+                pass
+        return None, None
+
+    def ask(self):
+        method = self.choose_method()
+        if not self._names[method]:
+            return method, dict(self.constants.get(method, {}))
+        worker, vec = self._claim_ask(method)
+        if vec is None:
+            # all workers busy/finished: fresh uniform sample (untracked)
+            params = sample_uniform(self.spaces[method], self.rng)
+            return method, {**self.constants.get(method, {}), **params}
+        params = self._params_of(method, vec)
+        key = self._key_of(method, params)
+        self._pending.setdefault(key, []).append((worker, vec))
+        return method, {**self.constants.get(method, {}), **params}
+
+    def tell(self, method, params, score):
+        super().tell(method, params, score)
+        key = self._key_of(method, params)
+        waiting = self._pending.get(key)
+        if not waiting:
+            return
+        worker, _vec = waiting.pop()
+        if not waiting:
+            del self._pending[key]
+        if not worker.done:
+            worker.tell_q.put(
+                score if math.isfinite(score) else 1e300
+            )
+
+    def close(self):
+        for ws in self._workers.values():
+            for w in ws:
+                w.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def register_optional_optlibs():
     try:
         import optuna  # noqa: F401
@@ -879,5 +1044,11 @@ def register_optional_optlibs():
         import skopt  # noqa: F401
 
         register_hyper_optlib("skopt", SkoptOptLib)
+    except ImportError:
+        pass
+    try:
+        import scipy.optimize  # noqa: F401
+
+        register_hyper_optlib("scipy", ScipyOptLib)
     except ImportError:
         pass

@@ -480,3 +480,53 @@ def test_pe_optlib_reassigns_sigma_by_rank():
     # the best worker (slot 0) must hold the smallest sigma
     assert sig[0] == min(sig)
     assert sig[3] == max(sig)
+
+
+def test_scipy_optlib_converges():
+    """The scipy adapter inverts dual_annealing into ask/tell and
+    converges on a smooth landscape."""
+    pytest.importorskip("scipy")
+    from cotengra_tpu.hyper.optlibs import ScipyOptLib
+
+    space = {
+        f"p{i}": {"type": "FLOAT", "min": 0.0, "max": 1.0}
+        for i in range(3)
+    }
+    at = {"p0": 0.3, "p1": 0.7, "p2": 0.5}
+    lib = ScipyOptLib(
+        ["m"], {"m": space}, {"m": {}}, seed=0,
+        optimizer="dual_annealing", maxiter=50,
+    )
+    try:
+        best = math.inf
+        for _ in range(150):
+            m, params = lib.ask()
+            s = sum((params[k] - at[k]) ** 2 for k in at)
+            best = min(best, s)
+            lib.tell(m, params, s)
+        assert best < 0.02
+    finally:
+        lib.close()
+
+
+def test_scipy_optlib_parallel_predispatch():
+    """ask-ask-ask before any tell must not deadlock: extra workers are
+    spawned on demand and every tell resolves to its own worker."""
+    pytest.importorskip("scipy")
+    from cotengra_tpu.hyper.optlibs import ScipyOptLib
+
+    space = {"p": {"type": "FLOAT", "min": 0.0, "max": 1.0}}
+    lib = ScipyOptLib(
+        ["m"], {"m": space}, {"m": {}}, seed=1,
+        optimizer="dual_annealing", maxiter=20,
+    )
+    try:
+        asked = [lib.ask() for _ in range(4)]
+        assert len(lib._workers["m"]) >= 2
+        for m, params in reversed(asked):
+            lib.tell(m, params, (params["p"] - 0.4) ** 2)
+        # a further round still works after out-of-order tells
+        m, params = lib.ask()
+        lib.tell(m, params, 1.0)
+    finally:
+        lib.close()
