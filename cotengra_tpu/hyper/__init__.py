@@ -327,34 +327,26 @@ def register_hyper_presets():
             hyper_optimize, get="tree", methods=["greedy"]
         ),
     )
-    for name in ("hyper-labels", "hyper-kahypar", "hyper-balanced"):
-        method = {
-            "hyper-labels": "labels",
-            "hyper-kahypar": "kahypar",
-            "hyper-balanced": "kahypar-balanced",
-        }[name]
-
-        def _mk(method):
-            def path_fn(inputs, output, size_dict):
-                return hyper_optimize(
-                    inputs, output, size_dict, get="path",
-                    methods=[method],
-                )
-
-            def tree_fn(inputs, output, size_dict):
-                return hyper_optimize(
-                    inputs, output, size_dict, get="tree",
-                    methods=[method],
-                )
-
-            return path_fn, tree_fn
-
-        try:
-            if method in list_hyper_functions():
-                pf, tf = _mk(method)
-                register_preset(name, pf, tf)
-        except Exception:
-            pass
+    # method-pinned variants are registered UNCONDITIONALLY, exactly as
+    # the reference does (``/root/reference/cotengra/__init__.py:287-330``):
+    # using one whose dependency is absent (kahypar, igraph) fails at
+    # search time with the hyper-registry error naming the method
+    for name, method, kw in (
+        ("hyper-labels", "labels", {}),
+        ("hyper-kahypar", "kahypar", {}),
+        ("hyper-balanced", "kahypar-balanced", {"max_repeats": 16}),
+        ("hyper-spinglass", "spinglass", {}),
+        ("hyper-betweenness", "betweenness", {}),
+    ):
+        register_preset(
+            name,
+            functools.partial(
+                hyper_optimize, get="path", methods=[method], **kw
+            ),
+            functools.partial(
+                hyper_optimize, get="tree", methods=[method], **kw
+            ),
+        )
 
 
 __all__ = [

@@ -160,17 +160,12 @@ class QuickBBOptimizer(PathOptimizer):
 
 
 def register_external_presets():
+    """Register the external-binary presets unconditionally, exactly as
+    the reference does (``/root/reference/cotengra/__init__.py:339-362``):
+    using one without its binary on PATH fails at search time with the
+    subprocess error naming the missing executable."""
     from ..interface import register_preset
 
-    if flowcutter_available():
-        for t in (2, 10, 60):
-            register_preset(
-                f"flowcutter-{t}",
-                FlowCutterOptimizer(max_time=t),
-            )
-    if quickbb_available():
-        for t in (2, 10, 60):
-            register_preset(
-                f"quickbb-{t}",
-                QuickBBOptimizer(max_time=t),
-            )
+    for t in (2, 10, 60):
+        register_preset(f"flowcutter-{t}", FlowCutterOptimizer(max_time=t))
+        register_preset(f"quickbb-{t}", QuickBBOptimizer(max_time=t))

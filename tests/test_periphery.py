@@ -158,17 +158,41 @@ def test_print_contractions(capsys):
     assert out.count("\n") == tree.N - 1
 
 
-def test_external_solvers_gated():
-    from cotengra_tpu.pathfinders.external import (
-        flowcutter_available,
-        quickbb_available,
-    )
+def test_full_reference_preset_surface():
+    """Every reference preset string registers (unconditionally, like
+    the reference ``__init__.py:266-372``); dependency-pinned ones fail
+    at USE time with a clear error naming the missing piece."""
+    ref_presets = {
+        "auto", "auto-hq", "edgesort", "greedy", "optimal",
+        "optimal-outer", "random-greedy", "random-greedy-128",
+        "greedy-compressed", "greedy-span", "hyper", "hyper-256",
+        "hyper-greedy", "hyper-labels", "hyper-kahypar",
+        "hyper-balanced", "hyper-spinglass", "hyper-betweenness",
+        "hyper-compressed", "flowcutter-2", "flowcutter-10",
+        "flowcutter-60", "quickbb-2", "quickbb-10", "quickbb-60",
+    }
+    missing = ref_presets - set(ctg.list_presets())
+    assert not missing, f"unregistered reference presets: {missing}"
 
-    # binaries absent in this image: presets must simply not register
+    from cotengra_tpu.pathfinders.external import flowcutter_available
+
+    inputs, output, shapes, size_dict = ctg.rand_equation(8, 3, seed=0)
+    # igraph absent in this image: the method-pinned preset must raise
+    # a clear error naming the method, not fail silently
+    from cotengra_tpu.hyper import list_hyper_functions
+
+    if "spinglass" not in list_hyper_functions():
+        with pytest.raises(Exception, match="spinglass"):
+            ctg.array_contract_tree(
+                inputs, output, size_dict=size_dict,
+                optimize="hyper-spinglass",
+            )
     if not flowcutter_available():
-        assert "flowcutter-10" not in ctg.list_presets()
-    if not quickbb_available():
-        assert "quickbb-10" not in ctg.list_presets()
+        with pytest.raises(Exception):
+            ctg.array_contract_tree(
+                inputs, output, size_dict=size_dict,
+                optimize="flowcutter-2",
+            )
 
 
 def test_pairwise_einsum_tensordot_standalone():
