@@ -737,7 +737,12 @@ INPLACE_MAX_GATE_SIZE = 2048
 # and off by default: the single-plan badness proxy mispredicts the
 # compiler's real padding choices on the bench (a 64x-padded realign
 # appeared downstream) - needs a real end-to-end padded-traffic model
-# before it can be trusted.
+# before it can be trusted. RESOLUTION (round 3): the padding problem
+# this targeted is fixed at execution instead - every block/window
+# transpose 128-splits large trailing dims so both copies are
+# tile-exact (zero padded traffic, see _apply_block_plan_split and
+# windowed.exec_window); the lookahead now only trades transpose
+# *block granularity* and stays an opt-in research knob.
 _LAYOUT_LOOKAHEAD = bool(
     int(os.environ.get("CTG_LAYOUT_LOOKAHEAD", "0"))
 )
