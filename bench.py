@@ -215,6 +215,10 @@ def main():
     # gate-chain executor: "window" (MXU dot_generals, round-3 default),
     # "inplace" (round-2 pallas kernels), or "none"
     gm = os.environ.get("BENCH_GATE_MODE", "auto")
+    # matmul precision: on TPU, DEFAULT lowers f32 dots to fast bf16
+    # multiplies (f32 accumulate); "highest" forces true-f32 multi-pass.
+    # The accuracy/speed trade is measured on chip (TPU_RUNBOOK step 4b)
+    prec = os.environ.get("BENCH_MATMUL_PRECISION") or None  # e.g. "highest"
 
     def build_core(stage_size):
         return make_grouped_staged_contractor(
@@ -227,6 +231,7 @@ def main():
             slice_batch=sb if nsl > 1 else None,
             slice_batch_mode=mode,
             gate_mode=None if gm == "none" else gm,
+            precision=prec,
         )
 
     core = build_core(ss)
