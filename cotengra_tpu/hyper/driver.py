@@ -295,6 +295,7 @@ class HyperOptimizer(PathOptimizer):
         return reported
 
     def _handle_trial_error(self, exc):
+        self._last_trial_error = exc
         if self.on_trial_error == "raise":
             raise exc
         if self.on_trial_error == "warn":
@@ -438,7 +439,11 @@ class HyperOptimizer(PathOptimizer):
             pbar.close()
 
         if self.best is None:
-            raise RuntimeError("All hyper-optimizer trials failed.")
+            last = getattr(self, "_last_trial_error", None)
+            raise RuntimeError(
+                "All hyper-optimizer trials failed."
+                + (f" Last error: {last!r}" if last is not None else "")
+            )
         return self.best["tree"]
 
     def ssa_path(self, inputs, output, size_dict):

@@ -105,6 +105,11 @@ def optimize_igraph(
 ):
     from ..tree import ContractionTree
 
+    if not HAS_IGRAPH:
+        raise ImportError(
+            "python-igraph is required for the "
+            f"{method!r} pathfinder but is not installed"
+        )
     if method in ("betweenness", "walktrap", "fastgreedy"):
         ssa_path = igraph_dendrogram_ssa(
             inputs, output, size_dict, method=method
@@ -128,8 +133,10 @@ def optimize_igraph(
 
 
 def register_igraph_hyper_methods():
-    if not HAS_IGRAPH:
-        return False
+    """Register the igraph methods unconditionally, exactly as the
+    reference does (``path_igraph.py:148-210``): a trial without
+    python-igraph installed raises ImportError at search time, which
+    the hyper driver's ``on_trial_error`` policy handles."""
     from ..hyper import register_hyper_function
 
     for method in (

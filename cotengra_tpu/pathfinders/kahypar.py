@@ -134,10 +134,11 @@ def optimize_kahypar(
 
 
 def register_kahypar_hyper_methods():
-    """Register kahypar-based methods into the hyper registry (no-op with
-    a warning if kahypar is missing)."""
-    if not HAS_KAHYPAR:
-        return False
+    """Register kahypar-based methods unconditionally, exactly as the
+    reference does (``path_kahypar.py:151-206``): a trial without the
+    kahypar package raises ImportError at search time
+    (``kahypar_partition`` guards), handled by the hyper driver's
+    ``on_trial_error`` policy."""
     from ..hyper import register_hyper_function
 
     def _ssa_kahypar(inputs, output, size_dict, **params):
