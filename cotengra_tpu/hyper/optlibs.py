@@ -887,6 +887,9 @@ class _ScipyWorker:
         self.tell_q = queue.Queue(maxsize=1)
         self.stop = threading.Event()
         self.done = False
+        # True between claiming this worker's candidate and telling its
+        # score back - a busy worker cannot produce another candidate
+        self.busy = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -962,17 +965,31 @@ class ScipyOptLib(HyperOptLib):
     _key_of = DifferentialEvolutionOptLib._key_of
 
     def _claim_ask(self, method):
-        """Claim a posted candidate from any live worker, spawning a new
-        worker when none has one ready."""
+        """Claim a posted candidate from any live worker, waiting for a
+        non-busy worker to produce one before spawning a new worker (so
+        strict ask/tell alternation stays on ONE deterministic
+        optimizer run regardless of thread scheduling)."""
         import queue as _q
 
         live = [w for w in self._workers[method] if not w.done]
         self._workers[method] = live
         for w in live:
             try:
-                return w, w.ask_q.get_nowait()
+                x = w.ask_q.get_nowait()
+                w.busy = True
+                return w, x
             except _q.Empty:
                 continue
+        # non-busy workers are computing their next candidate: wait
+        for w in live:
+            if w.busy or w.done:
+                continue
+            try:
+                x = w.ask_q.get(timeout=10.0)
+                w.busy = True
+                return w, x
+            except _q.Empty:
+                continue  # optimizer likely converged mid-wait
         if len(live) < self.max_workers:
             w = _ScipyWorker(
                 self.optimizer,
@@ -982,7 +999,9 @@ class ScipyOptLib(HyperOptLib):
             )
             self._workers[method].append(w)
             try:
-                return w, w.ask_q.get(timeout=10.0)
+                x = w.ask_q.get(timeout=10.0)
+                w.busy = True
+                return w, x
             except _q.Empty:
                 pass
         return None, None
@@ -1014,6 +1033,7 @@ class ScipyOptLib(HyperOptLib):
             worker.tell_q.put(
                 score if math.isfinite(score) else 1e300
             )
+        worker.busy = False
 
     def close(self):
         for ws in self._workers.values():

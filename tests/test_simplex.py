@@ -505,6 +505,9 @@ def test_scipy_optlib_converges():
             best = min(best, s)
             lib.tell(m, params, s)
         assert best < 0.02
+        # strict ask/tell alternation must stay on ONE optimizer run:
+        # no spurious extra workers under scheduler/CPU-load variation
+        assert len(lib._workers["m"]) == 1
     finally:
         lib.close()
 
