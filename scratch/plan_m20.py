@@ -71,7 +71,7 @@ def main():
         methods=methods,
         optlib=optlib,
         max_repeats=100000,
-        max_time=minutes * 60,
+        max_time=0,  # set per chunk below
         parallel=False,
         seed=seed,
         simulated_annealing_opts={"tsteps": 10},
@@ -82,31 +82,43 @@ def main():
         reconf_opts={"subtree_size": 10, "maxiter": 120},
         progbar=False,
     )
-    t0 = time.time()
-    tree = opt.search(inputs, output, size_dict)
-    f = tree.total_flops(log=10)
     import math
-
-    print(
-        f"# search done: {len(opt.trials)} trials in "
-        f"{time.time()-t0:.0f}s best log10F={f:.3f} "
-        f"nslices=2^{math.log2(max(tree.multiplicity,1)):.0f} "
-        f"width=2^{math.log2(tree.max_size()):.0f}"
-    )
-    # method histogram of the best trials
     from collections import Counter
+
+    # chunked search with INCREMENTAL saves: the optimizer accumulates
+    # trials across .search() calls, and every improving chunk commits
+    # the plan to disk immediately (a crash / kill / TPU-recovery stop
+    # then loses at most one chunk of progress)
+    t0 = time.time()
+    chunk_s = 600.0
+    while time.time() - t0 < minutes * 60:
+        left = minutes * 60 - (time.time() - t0)
+        opt.max_time = min(chunk_s, max(left, 60.0))
+        tree = opt.search(inputs, output, size_dict)
+        f = tree.total_flops(log=10)
+        print(
+            f"# chunk done: {len(opt.trials)} trials "
+            f"{time.time()-t0:.0f}s best log10F={f:.3f} "
+            f"nslices=2^{math.log2(max(tree.multiplicity, 1)):.0f}",
+            flush=True,
+        )
+        if best_flops is None or f < best_flops - 1e-9:
+            save_tree(
+                plan_file, tree,
+                log10_flops=f, target_log2=tgt_log,
+                planner=f"hyper:{','.join(methods)}:{optlib}",
+            )
+            print(
+                f"# SAVED improved plan to {plan_file} "
+                f"({best_flops} -> {f:.3f})",
+                flush=True,
+            )
+            best_flops = f
 
     cnt = Counter(t.get("method") for t in opt.trials)
     top = sorted(opt.trials, key=lambda t: t["score"])[:10]
     print(f"# methods sampled: {dict(cnt)}")
     print(f"# top-10 methods: {[t.get('method') for t in top]}")
-
-    if best_flops is None or f < best_flops - 1e-9:
-        save_tree(tree, plan_file)
-        print(f"# SAVED improved plan to {plan_file} "
-              f"({best_flops} -> {f:.3f})")
-    else:
-        print(f"# not saved (best committed {best_flops:.3f} <= {f:.3f})")
 
 
 if __name__ == "__main__":
