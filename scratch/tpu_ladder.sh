@@ -12,4 +12,12 @@ done
 echo "$(date +%s) ladder: starting m=10 bench" >> /tmp/tpu_status
 timeout 5400 python bench.py \
   > /tmp/bench_r3_m10.json 2> /tmp/bench_r3_m10.log
-echo "$(date +%s) ladder: m10 bench exit $?" >> /tmp/tpu_status
+rc=$?
+echo "$(date +%s) ladder: m10 bench exit $rc" >> /tmp/tpu_status
+if [ "$rc" = 0 ]; then
+  echo "$(date +%s) ladder: starting m=20 bench (t27)" >> /tmp/tpu_status
+  BENCH_DEPTH=20 BENCH_TARGET_SIZE=27 BENCH_SLICE_BATCH=8 \
+    timeout 5400 python bench.py \
+    > /tmp/bench_r3_m20.json 2> /tmp/bench_r3_m20.log
+  echo "$(date +%s) ladder: m20 bench exit $?" >> /tmp/tpu_status
+fi
