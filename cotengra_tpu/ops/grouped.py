@@ -31,6 +31,8 @@ high-rank form never exists on device.
 """
 
 import os
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -2121,25 +2123,65 @@ def make_grouped_staged_contractor(
         ):
             cpu_dev = jax.devices("cpu")[0]
             op_build_c = jax.jit(op_build)
+            timing = os.environ.get("CTG_TIMING") == "1"
 
-            def op_build_j(*arrays):
+            def op_build_raw(*arrays):
+                t0 = time.perf_counter() if timing else 0.0
                 leaves = tuple(
                     np.asarray(arrays[i]) for i in op_leaf_ids
                 )
+                t1 = time.perf_counter() if timing else 0.0
                 with jax.default_device(cpu_dev):
                     outs = op_build_c(*leaves)
+                    outs = tuple(np.asarray(o) for o in outs)
+                t2 = time.perf_counter() if timing else 0.0
                 dev = jax.devices()[0]
-                return tuple(jax.device_put(o, dev) for o in outs)
+                res = tuple(jax.device_put(o, dev) for o in outs)
+                for r in res:
+                    r.block_until_ready()
+                if timing:
+                    t3 = time.perf_counter()
+                    nb = sum(o.nbytes for o in outs)
+                    print(
+                        f"# op_build: pull={t1 - t0:.3f}s "
+                        f"build={t2 - t1:.3f}s "
+                        f"push={t3 - t2:.3f}s ({nb / 2**20:.0f} MB)",
+                        file=sys.stderr,
+                    )
+                return res
 
         else:
             op_build_full = (
                 _stage_jit(op_build) if autojit else op_build
             )
 
-            def op_build_j(*arrays):
+            def op_build_raw(*arrays):
                 return op_build_full(
                     *(arrays[i] for i in op_leaf_ids)
                 )
+
+        # The operators depend only on the (tiny, slice-independent)
+        # gate leaves, so for repeated calls with the same leaf objects
+        # - every slice batch of a contraction - rebuilding them (host
+        # pulls + device pushes over a ~25ms-latency tunnel, per leaf)
+        # is pure overhead. One-entry cache keyed on leaf identity;
+        # holding strong refs to the previous call's gate leaves is
+        # cheap (<= 2^16 numel each) and avoids id-reuse hazards.
+        op_cache = {"leaves": None, "outs": None}
+
+        def op_build_j(*arrays):
+            leaves = tuple(arrays[i] for i in op_leaf_ids)
+            prev = op_cache["leaves"]
+            if (
+                prev is not None
+                and len(prev) == len(leaves)
+                and all(a is b for a, b in zip(prev, leaves))
+            ):
+                return op_cache["outs"]
+            outs = op_build_raw(*arrays)
+            op_cache["leaves"] = leaves
+            op_cache["outs"] = outs
+            return outs
 
     stages = []
     carries = [list(range(ir.num_inputs)) + sorted(w2_set)]
