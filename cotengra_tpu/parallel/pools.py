@@ -72,6 +72,9 @@ def parse_parallel_arg(parallel):
     - int -> cached process pool of that many workers
     - ``"threads"`` / ``"threads:N"`` -> cached thread pool
     - ``"processes"`` / ``"processes:N"`` -> cached process pool
+    - ``"loky[:N]"`` -> reusable loky process pool (crash-tolerant)
+    - ``"dask[:N]"`` / ``"ray[:N]"`` -> distributed executors (optional
+      dependencies)
     - an object with ``submit`` -> used directly
     """
     if parallel is False or parallel is None:
@@ -99,6 +102,8 @@ def parse_parallel_arg(parallel):
             key = ("threads", n)
         elif name in ("processes", "process", "concurrent.futures"):
             key = ("processes", n)
+        elif name == "loky":
+            return _get_loky_pool(n)
         elif name == "dask":
             return _get_dask_pool(n)
         elif name == "ray":
@@ -126,6 +131,25 @@ def parse_parallel_arg(parallel):
 def set_parallel_backend(parallel):
     """Eagerly create and return the default pool."""
     return parse_parallel_arg(parallel)
+
+
+def _get_loky_pool(n):
+    """loky-backed reusable process pool (the reference's robust default
+    for process parallelism, ``parallel.py:291-300``): survives worker
+    crashes and resizes in place. Imported from loky directly or via
+    joblib's vendored copy."""
+    try:
+        from loky import get_reusable_executor
+    except ImportError:
+        try:
+            from joblib.externals.loky import get_reusable_executor
+        except ImportError as e:
+            raise ImportError(
+                "parallel='loky' requires loky or joblib"
+            ) from e
+    return get_reusable_executor(
+        max_workers=n, initializer=_mark_worker
+    )
 
 
 def _get_dask_pool(n):

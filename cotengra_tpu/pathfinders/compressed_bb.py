@@ -8,7 +8,7 @@ contraction, with three prunes:
 - **bound**: any partial sequence whose tracker score already exceeds
   the best complete score is dropped (compressed trackers accumulate
   monotonically);
-- **state dedup**: two sequences reaching the same partial partition of
+- **subset dedup**: two sequences reaching the same partial partition of
   the leaves are interchangeable - only the cheaper one survives;
 - **ordering**: a ``local_score(step, tracker)`` priority drives the
   frontier; the default is depth-first by memory saved, while
@@ -18,10 +18,15 @@ contraction, with three prunes:
 score as the initial bound), optionally *restricting* the search to the
 path's own merges so only their order is optimized.
 
-Reference parity:
-``/root/reference/cotengra/experimental/path_compressed_branchbound.py:14-359``
-(behavior studied; re-implemented on this package's hypergraph and
-tracker protocol).
+The search state is this package's native idiom: each hypergraph node
+carries an **int bitmask** of the original leaves merged into it (the
+same encoding :class:`~cotengra_tpu.tree.ContractionTree` uses for its
+nodes), partial partitions are deduplicated as frozensets of those
+bitmask ints, and frontier entries live directly in the heap (no
+id-indirection table). Behavior parity with reference
+``/root/reference/cotengra/experimental/path_compressed_branchbound.py``
+(CompressedExhaustive / CompressedTreeRefiner), whose scoring protocol
+is shared via :func:`~cotengra_tpu.scoring.tracked_contract_step`.
 """
 
 import heapq
@@ -29,7 +34,7 @@ import itertools
 import math
 
 from ..hypergraph import HyperGraph
-from ..scoring import parse_minimize
+from ..scoring import parse_minimize, tracked_contract_step
 from ..tree import ssa_to_linear
 
 __all__ = ("CompressedExhaustive", "CompressedTreeRefiner")
@@ -42,6 +47,36 @@ def _tracker_score(tracker):
         return tracker.combo_score
 
 
+class _State:
+    """One point in the search space: a partially contracted hypergraph,
+    the leaf-bitmask each of its nodes represents, the SSA merges taken
+    to get here, and the running cost tracker."""
+
+    __slots__ = ("hg", "masks", "path", "tracker")
+
+    def __init__(self, hg, masks, path, tracker):
+        self.hg = hg
+        self.masks = masks
+        self.path = path
+        self.tracker = tracker
+
+    @property
+    def complete(self):
+        return self.hg.get_num_nodes() == 1
+
+    def candidate_pairs(self):
+        """Distinct directly-bonded node pairs, deterministically
+        ordered (a pair sharing several indices appears once)."""
+        seen = set()
+        for ix in sorted(self.hg.edges):
+            nodes = self.hg.edges[ix]
+            if len(nodes) == 2:
+                pair = (nodes[0], nodes[1])
+                if pair not in seen:
+                    seen.add(pair)
+                    yield pair
+
+
 class CompressedExhaustive:
     """Search all compressed contraction orders with pruning.
 
@@ -52,7 +87,7 @@ class CompressedExhaustive:
         promoted to its ``-compressed`` variant).
     max_nodes : int, optional
         Stop (keeping the best complete path found) after this many
-        search states.
+        state expansions.
     max_time : float, optional
         Wall-clock budget in seconds.
     local_score : callable ``(step, tracker) -> key``, optional
@@ -92,7 +127,7 @@ class CompressedExhaustive:
         self.exploration_power = exploration_power
         self.progbar = progbar
         self.allow = None
-        self._frontier = None
+        self.root = None
 
         if local_score is None:
             if exploration_power <= 0:
@@ -114,7 +149,7 @@ class CompressedExhaustive:
 
     def setup(self, inputs, output, size_dict):
         """Prepare the search space for one specific contraction."""
-        if self._frontier is not None:
+        if self.root is not None:
             return
         hg = HyperGraph(inputs, output, size_dict)
         if self.chi in (None, "auto"):
@@ -128,89 +163,83 @@ class CompressedExhaustive:
             from ..scoring import CompressedStatsTracker
 
             tracker = CompressedStatsTracker(hg, self.chi)
-        # node id -> frozenset of leaves merged into it
-        groups = {i: frozenset((i,)) for i in hg.nodes}
+        self.root = _State(
+            hg, {i: 1 << i for i in hg.nodes}, (), tracker
+        )
+        # heap entries: (priority, insertion tick, state)
         self._tick = itertools.count()
-        self.root = (hg, groups, (), tracker)
-        c = next(self._tick)
-        self._states = {c: self.root}
-        self._frontier = [(self.local_score(0, tracker), c)]
+        self._frontier = [
+            (self.local_score(0, tracker), next(self._tick), self.root)
+        ]
         self._preferred = []
-        self._seen = {}
+        # best score yet seen per partial partition of the leaves
+        self._best_per_partition = {}
 
-    def expand(
-        self, i, j, hg, groups, ssa_path, tracker, preferred=False
-    ):
-        """Fork a state by contracting nodes ``i`` and ``j``; returns
-        the new state's id, or None if pruned."""
-        gi, gj = groups[i], groups[j]
-        gij = gi | gj
-        if self.allow is not None and gij not in self.allow:
+    def _try_merge(self, state, i, j, preferred=False):
+        """Fork ``state`` by contracting its nodes ``i`` and ``j``;
+        queue and return the child state, or None if pruned."""
+        mij = state.masks[i] | state.masks[j]
+        if self.allow is not None and mij not in self.allow:
             return None
 
-        hg = hg.copy()
-        tracker = tracker.copy()
-        tracker.update_pre_step()
-        if self.compress_late:
-            tracker.update_pre_compress(hg, i, j)
-            hg.compress(
-                self.chi, hg.get_node(i) + hg.get_node(j)
-            )
-            tracker.update_post_compress(hg, i, j)
-        tracker.update_pre_contract(hg, i, j)
-        ij = hg.contract(i, j)
-        tracker.update_post_contract(hg, ij)
-        if not self.compress_late:
-            tracker.update_pre_compress(hg, ij)
-            hg.compress(self.chi, hg.get_node(ij))
-            tracker.update_post_compress(hg, ij)
-        tracker.update_post_step()
+        hg = state.hg.copy()
+        tracker = state.tracker.copy()
+        ij = tracked_contract_step(
+            hg, tracker, i, j, self.chi, self.compress_late
+        )
 
         score = _tracker_score(tracker)
         if score >= self.best_score:
             return None
 
-        ngroups = groups.copy()
-        del ngroups[i]
-        del ngroups[j]
-        ngroups[ij] = gij
+        masks = {
+            k: m for k, m in state.masks.items() if k != i and k != j
+        }
+        masks[ij] = mij
 
-        # partial-partition dedup: keep only the cheapest route into
-        # any given intermediate partition of the leaves
-        key = hash(frozenset(ngroups.values()))
-        if score >= self._seen.get(key, float("inf")):
+        # subset dedup: of all routes reaching the same partial
+        # partition of the leaves, only the cheapest survives
+        partition = frozenset(masks.values())
+        if score >= self._best_per_partition.get(
+            partition, float("inf")
+        ):
             return None
-        self._seen[key] = score
+        self._best_per_partition[partition] = score
 
-        npath = ssa_path + ((i, j) if i < j else (j, i),)
-        c = next(self._tick)
-        self._states[c] = (hg, ngroups, npath, tracker)
+        child = _State(
+            hg,
+            masks,
+            state.path + ((i, j) if i < j else (j, i),),
+            tracker,
+        )
         if preferred:
-            self._preferred.append(c)
+            self._preferred.append(child)
         else:
             heapq.heappush(
                 self._frontier,
-                (self.local_score(len(npath), tracker), c),
+                (
+                    self.local_score(len(child.path), tracker),
+                    next(self._tick),
+                    child,
+                ),
             )
-        return c
+        return child
 
     def explore_path(self, ssa_path, high_priority=True, restrict=False):
         """Seed the frontier with a known SSA path (must call
         :meth:`setup` first). ``restrict=True`` limits the whole search
         to this path's merges (order-only optimization)."""
-        hg, groups, path, tracker = self.root
+        state = self.root
         if restrict and self.allow is None:
             self.allow = set()
         for i, j in ssa_path:
             if restrict:
-                self.allow.add(groups[i] | groups[j])
-            c = self.expand(
-                i, j, hg, groups, path, tracker,
-                preferred=high_priority,
+                self.allow.add(state.masks[i] | state.masks[j])
+            state = self._try_merge(
+                state, i, j, preferred=high_priority
             )
-            if c is None:
+            if state is None:
                 return
-            hg, groups, path, tracker = self._states[c]
 
     # -- main loop ----------------------------------------------------------
 
@@ -220,7 +249,9 @@ class CompressedExhaustive:
         if self.max_time is not None:
             import time
 
-            t0 = time.time()
+            deadline = time.monotonic() + self.max_time
+        else:
+            deadline = None
 
         if self.progbar:
             import tqdm
@@ -229,45 +260,42 @@ class CompressedExhaustive:
         else:
             pbar = None
 
+        expansions = 0
         try:
-            while self._states and (self._preferred or self._frontier):
+            while self._preferred or self._frontier:
                 if self._preferred:
-                    c = self._preferred.pop()
-                    if c not in self._states:
-                        continue
+                    state = self._preferred.pop()
                 else:
-                    _, c = heapq.heappop(self._frontier)
-                    if c not in self._states:
-                        continue
-                hg, groups, path, tracker = self._states.pop(c)
+                    _, _, state = heapq.heappop(self._frontier)
 
-                if hg.get_num_nodes() == 1:
-                    score = _tracker_score(tracker)
+                if state.complete:
+                    score = _tracker_score(state.tracker)
                     if score < self.best_score:
                         self.best_score = score
-                        self.best_ssa_path = path
+                        self.best_ssa_path = state.path
                         if pbar is not None:
                             pbar.set_description(
                                 f"best:{score:.3f} "
-                                f"frontier:{len(self._states)}",
+                                f"frontier:{len(self._frontier)}",
                                 refresh=False,
                             )
                     continue
 
-                # expand along every simple (2-node) bond
-                for ix in sorted(hg.edges):
-                    nodes = hg.edges[ix]
-                    if len(nodes) != 2:
-                        continue
-                    self.expand(*nodes, hg, groups, path, tracker)
+                # the bound may have tightened since this state queued
+                if _tracker_score(state.tracker) >= self.best_score:
+                    continue
 
+                for i, j in state.candidate_pairs():
+                    self._try_merge(state, i, j)
+
+                expansions += 1
                 if pbar is not None:
                     pbar.update()
                 if self.best_ssa_path is not None and (
-                    c > self.max_nodes
+                    expansions > self.max_nodes
                     or (
-                        self.max_time is not None
-                        and time.time() - t0 >= self.max_time
+                        deadline is not None
+                        and time.monotonic() >= deadline
                     )
                 ):
                     break

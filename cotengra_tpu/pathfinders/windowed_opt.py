@@ -33,7 +33,11 @@ import itertools
 import math
 
 from ..hypergraph import HyperGraph
-from ..scoring import CompressedStatsTracker, parse_minimize
+from ..scoring import (
+    CompressedStatsTracker,
+    parse_minimize,
+    tracked_contract_step,
+)
 from ..utils.misc import GumbelBatchedGenerator, get_rng
 
 __all__ = (
@@ -213,20 +217,9 @@ class ChainState:
         new = object.__new__(ChainState)
         hg = self.hg.copy()
         tracker = self.tracker.copy()
-        tracker.update_pre_step()
-        if self.compress_late:
-            tracker.update_pre_compress(hg, l, r)
-            hg.compress(chi=self.chi, edges=hg.get_node(l))
-            hg.compress(chi=self.chi, edges=hg.get_node(r))
-            tracker.update_post_compress(hg, l, r)
-        tracker.update_pre_contract(hg, l, r)
-        hg.contract(l, r, node=p)
-        tracker.update_post_contract(hg, p)
-        if not self.compress_late:
-            tracker.update_pre_compress(hg, p)
-            hg.compress(chi=self.chi, edges=hg.get_node(p))
-            tracker.update_post_compress(hg, p)
-        tracker.update_post_step()
+        tracked_contract_step(
+            hg, tracker, l, r, self.chi, self.compress_late, node=p
+        )
         new.hg = hg
         new.plr = (p, l, r)
         new.chi = self.chi

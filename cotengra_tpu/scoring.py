@@ -370,6 +370,34 @@ class CompressedStatsTracker:
         return f"<{self.__class__.__name__}({self.describe(join=', ')})>"
 
 
+def tracked_contract_step(hg, tracker, i, j, chi, compress_late, node=None):
+    """Contract nodes ``i`` and ``j`` of ``hg`` *in place*, driving
+    ``tracker`` through the full compressed-step hook protocol that every
+    cost consumer in this package must agree on: pre-step,
+    [late-compress], contract, [early-compress], post-step.
+
+    Returns the new node's id (``node`` if given).
+    """
+    tracker.update_pre_step()
+    if compress_late:
+        tracker.update_pre_compress(hg, i, j)
+        hg.compress(chi=chi, edges=hg.get_node(i))
+        hg.compress(chi=chi, edges=hg.get_node(j))
+        tracker.update_post_compress(hg, i, j)
+    tracker.update_pre_contract(hg, i, j)
+    if node is None:
+        ij = hg.contract(i, j)
+    else:
+        ij = hg.contract(i, j, node=node)
+    tracker.update_post_contract(hg, ij)
+    if not compress_late:
+        tracker.update_pre_compress(hg, ij)
+        hg.compress(chi=chi, edges=hg.get_node(ij))
+        tracker.update_post_compress(hg, ij)
+    tracker.update_post_step()
+    return ij
+
+
 class CompressedStatsTrackerSize(CompressedStatsTracker):
     __slots__ = ()
 

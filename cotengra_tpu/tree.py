@@ -1362,23 +1362,13 @@ class ContractionTree:
         )
         tracker = tracker_cls(hg, chi)
 
+        from .scoring import tracked_contract_step
+
         for p, l, r in self.traverse(self._resolve_order(order)):
-            li = tree_map[l]
-            ri = tree_map[r]
-            tracker.update_pre_step()
-            if compress_late:
-                tracker.update_pre_compress(hg, li, ri)
-                hg.compress(chi=chi, edges=hg.get_node(li))
-                hg.compress(chi=chi, edges=hg.get_node(ri))
-                tracker.update_post_compress(hg, li, ri)
-            tracker.update_pre_contract(hg, li, ri)
-            pi = tree_map[p] = hg.contract(li, ri)
-            tracker.update_post_contract(hg, pi)
-            if not compress_late:
-                tracker.update_pre_compress(hg, pi)
-                hg.compress(chi=chi, edges=hg.get_node(pi))
-                tracker.update_post_compress(hg, pi)
-            tracker.update_post_step()
+            tree_map[p] = tracked_contract_step(
+                hg, tracker, tree_map[l], tree_map[r], chi,
+                compress_late,
+            )
 
         return tracker
 

@@ -129,22 +129,31 @@ class ContractionTreeMulti(ContractionTree):
     def get_flops(self, node):
         return super().get_flops(node) * self.get_node_mult(node)
 
+    def _ordered_cache_cost(self, first, second):
+        """Cache pressure at a pair node when ``first``'s subtree is
+        contracted before ``second``'s: a bright first child sits in the
+        cache as a single copy while the whole second subtree runs, and a
+        bright second child contributes one copy per recomputation.
+        """
+        cost = 0
+        if self.get_node_is_bright(first):
+            cost += self.get_size(first)
+        if self.get_node_is_bright(second):
+            cost += self.get_size(second) * self.get_node_mult(second)
+        return cost
+
     def get_cache_contrib(self, node):
+        """Estimated cache contribution of ``node``, orienting its
+        children (in place) to whichever evaluation order is cheaper.
+        Cost model matches reference ``core_multi.py`` (get_cache_contrib).
+        """
         l, r = self.children[node]
-        lr_peak = 0
-        if self.get_node_is_bright(l):
-            lr_peak += self.get_size(l)
-        if self.get_node_is_bright(r):
-            lr_peak += self.get_size(r) * self.get_node_mult(r)
-        rl_peak = 0
-        if self.get_node_is_bright(r):
-            rl_peak += self.get_size(r)
-        if self.get_node_is_bright(l):
-            rl_peak += self.get_size(l) * self.get_node_mult(l)
-        if lr_peak <= rl_peak:
-            return lr_peak
-        self.children[node] = (r, l)
-        return rl_peak
+        keep = self._ordered_cache_cost(l, r)
+        swap = self._ordered_cache_cost(r, l)
+        if swap < keep:
+            self.children[node] = (r, l)
+            return swap
+        return keep
 
     def peak_size(self, order=None, log=None):
         peak = sum(
@@ -175,72 +184,78 @@ class ContractionTreeMulti(ContractionTree):
     # -- exact accounting over an explicit config batch ------------------------
 
     def exact_multi_stats(self, configs):
-        """Exactly simulate contracting ``configs`` (list of
-        {var_ind: value} dicts) with caching of shared intermediates,
-        returning true flops/write/peak (reference
-        ``core_multi.py:167-253``).
-        """
-        plr = tuple(self.traverse())
+        """Exactly account for contracting ``configs`` (a list of
+        ``{var_ind: value}`` dicts) with memoization of shared
+        intermediates: flops are charged once per *distinct*
+        (node, projected sub-config) value, and memory is simulated by
+        freeing every cached value at its globally last read.
 
-        def to_key(node, config):
-            sub = tuple(
+        Semantics match reference ``core_multi.py:167-253``; the
+        bookkeeping here is a flat compute-event schedule + last-read
+        index map rather than the reference's per-config three-pass
+        deletion-flag dicts.
+        """
+        order = tuple(self.traverse())
+
+        # A *value* is (node_bitmask, tuple-of-variable-assignments):
+        # the unit of memoization across configurations.
+        def vkey(node, config):
+            return node, tuple(
                 config[ix] for ix in self.get_node_var_inds(node)
             )
-            return hash((node, sub))
 
-        cons = []
-        seen = set()
+        # Schedule one compute event per fresh value, in execution
+        # order; record where each config's block of events ends.
+        events = []  # (parent node, left vkey, right vkey)
+        block_ends = []
+        produced = set()
         for config in configs:
-            cons_i = []
-            for p, l, r in plr:
-                pkey = to_key(p, config)
-                if pkey not in seen:
-                    seen.add(pkey)
-                    cons_i.append(
-                        {
-                            "p": p,
-                            "l": l,
-                            "r": r,
-                            "lkey": to_key(l, config),
-                            "rkey": to_key(r, config),
-                        }
-                    )
-            cons.append(cons_i)
-        del seen
+            for p, l, r in order:
+                pk = vkey(p, config)
+                if pk in produced:
+                    continue
+                produced.add(pk)
+                events.append((p, vkey(l, config), vkey(r, config)))
+            block_ends.append(len(events))
+        del produced
 
-        deleted = set()
-        for cons_i in reversed(cons):
-            for con in reversed(cons_i):
-                for side in ("r", "l"):
-                    key = con[f"{side}key"]
-                    con[f"{side}del"] = key not in deleted
-                    deleted.add(key)
-        del deleted
+        # Single backward sweep: last event index that reads each value.
+        last_read = {}
+        for t in range(len(events) - 1, -1, -1):
+            _, lk, rk = events[t]
+            last_read.setdefault(lk, t)
+            last_read.setdefault(rk, t)
 
+        # Forward memory simulation with free-at-last-read.  Leaf values
+        # are the caller's input tensors (never freed); each config's
+        # root amplitude is streamed out at its block boundary.  A block
+        # is empty iff its exact config already appeared, in which case
+        # nothing was recomputed and nothing new needs freeing.
         flops = 0
-        mem_current = 0
-        mem_peak = 0
-        mem_write = 0
-        for cons_i in cons:
-            p = None
-            for con in cons_i:
-                p = con["p"]
-                flops += ContractionTree.get_flops(self, p)
-                psize = self.get_size(p)
-                mem_current += psize
-                mem_write += psize
-                mem_peak = max(mem_peak, mem_current)
-                l, r = con["l"], con["r"]
-                if con["ldel"] and l.bit_count() > 1:
-                    mem_current -= self.get_size(l)
-                if con["rdel"] and r.bit_count() > 1:
-                    mem_current -= self.get_size(r)
-            if p is not None:
-                mem_current -= self.get_size(p)
+        live = peak = written = 0
+        bi = 0
+        for t, (p, lk, rk) in enumerate(events):
+            flops += ContractionTree.get_flops(self, p)
+            psize = self.get_size(p)
+            live += psize
+            written += psize
+            if live > peak:
+                peak = live
+            for ck in (lk, rk):
+                if last_read[ck] == t and ck[0].bit_count() > 1:
+                    live -= self.get_size(ck[0])
+            if bi < len(block_ends) and block_ends[bi] == t + 1:
+                # traverse() ends at the root, so a non-empty block's
+                # final event computed this config's root amplitude
+                live -= psize
+                # duplicate configs yield empty blocks sharing this
+                # boundary: their root was already freed, skip them
+                while bi < len(block_ends) and block_ends[bi] == t + 1:
+                    bi += 1
 
         return {
             "flops": flops,
-            "write": mem_write,
+            "write": written,
             "size": self.max_size(),
-            "peak": mem_peak,
+            "peak": peak,
         }

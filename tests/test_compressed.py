@@ -129,6 +129,58 @@ def test_multi_tree_costs():
     assert stats["peak"] >= stats["size"]
 
 
+def test_exact_multi_stats_memoization_invariants():
+    import random
+
+    from cotengra_tpu.tree import ContractionTree
+
+    inputs, output, shapes, size_dict = ctg.rand_equation(10, 3, seed=3)
+    var_inds = sorted(size_dict)[:3]
+    ssa = ctg.optimize_greedy(inputs, output, size_dict, use_ssa=True)
+    mt = ContractionTreeMulti.from_path(
+        inputs, output, size_dict, ssa_path=ssa
+    )
+    mt.sliced_inds = {ix: None for ix in var_inds}
+    from cotengra_tpu.scoring import get_multi_objective
+
+    mt.set_default_objective(get_multi_objective("uniform", 64))
+
+    rng = random.Random(7)
+    configs = [
+        {ix: rng.randrange(size_dict[ix]) for ix in var_inds}
+        for _ in range(12)
+    ]
+    stats = mt.exact_multi_stats(configs)
+
+    # flops are charged exactly once per distinct (node, projected
+    # sub-config) value — recount with a plain set, no scheduling
+    seen = set()
+    flops = 0
+    for config in configs:
+        for p, _, _ in mt.traverse():
+            key = (
+                p,
+                tuple(config[ix] for ix in mt.get_node_var_inds(p)),
+            )
+            if key not in seen:
+                seen.add(key)
+                flops += ContractionTree.get_flops(mt, p)
+    assert stats["flops"] == flops
+
+    # repeating the whole batch is fully cached: no extra flops or
+    # writes, and the memory peak is unchanged
+    stats2 = mt.exact_multi_stats(configs + configs)
+    assert stats2["flops"] == stats["flops"]
+    assert stats2["write"] == stats["write"]
+    assert stats2["peak"] == stats["peak"]
+
+    # consecutive duplicate configs exercise the shared-block-boundary
+    # path (empty blocks must not double-free the root amplitude)
+    stats3 = mt.exact_multi_stats([configs[0], configs[0], configs[1]])
+    stats4 = mt.exact_multi_stats([configs[0], configs[1]])
+    assert stats3 == stats4
+
+
 def test_contract_compressed_exact_at_large_chi():
     import numpy as np
 
