@@ -1830,15 +1830,16 @@ def make_grouped_staged_contractor(
     from .lowering import extract_contractions, sliced_input_legs
 
     if gate_mode == "auto":
-        # gate chains run on split planes only; "window" (MXU
-        # dot_generals, round 3) is the default, "inplace" (pallas)
-        # available via inplace_gates=True
+        # gate chains run on split planes only. "inplace" (pallas,
+        # round 2) is the measured end-to-end winner on the v5e bench
+        # (0.513 TFLOP/s vs window-mode OOM/0.02, round 4) and is the
+        # default; "window" (MXU dot_generals, round 3) remains opt-in
+        # - its dense W2 operators cost ~1 GB of HBM + host build/push
+        # per contraction and have not beaten inplace end to end.
         if not split_complex:
             gate_mode = None
-        elif inplace_gates is True:
-            gate_mode = "inplace"
         else:
-            gate_mode = "window"
+            gate_mode = "inplace"
     if gate_mode and not split_complex:
         raise ValueError("gate chains require split_complex=True")
 
@@ -2137,9 +2138,11 @@ def make_grouped_staged_contractor(
                 t2 = time.perf_counter() if timing else 0.0
                 dev = jax.devices()[0]
                 res = tuple(jax.device_put(o, dev) for o in outs)
-                for r in res:
-                    r.block_until_ready()
                 if timing:
+                    # sync only when measuring: the subsequent stage
+                    # dispatch already orders against the transfers
+                    for r in res:
+                        r.block_until_ready()
                     t3 = time.perf_counter()
                     nb = sum(o.nbytes for o in outs)
                     print(
@@ -2167,20 +2170,27 @@ def make_grouped_staged_contractor(
         # is pure overhead. One-entry cache keyed on leaf identity;
         # holding strong refs to the previous call's gate leaves is
         # cheap (<= 2^16 numel each) and avoids id-reuse hazards.
+        # NOTE: the cache assumes leaves are not mutated in place
+        # between calls (jnp arrays are immutable; numpy leaves must be
+        # treated as frozen once handed to the contractor).
+        # CTG_OP_CACHE=0 disables it (every call rebuilds + repushes).
         op_cache = {"leaves": None, "outs": None}
+        op_cache_on = os.environ.get("CTG_OP_CACHE", "1") != "0"
 
         def op_build_j(*arrays):
             leaves = tuple(arrays[i] for i in op_leaf_ids)
             prev = op_cache["leaves"]
             if (
-                prev is not None
+                op_cache_on
+                and prev is not None
                 and len(prev) == len(leaves)
                 and all(a is b for a, b in zip(prev, leaves))
             ):
                 return op_cache["outs"]
             outs = op_build_raw(*arrays)
-            op_cache["leaves"] = leaves
-            op_cache["outs"] = outs
+            if op_cache_on:
+                op_cache["leaves"] = leaves
+                op_cache["outs"] = outs
             return outs
 
     stages = []

@@ -122,6 +122,7 @@ def test_windowed_contract_matches_numpy(instance, strip):
     inputs, output, size_dict, arrays, ref, tree = instance
     fn = make_grouped_staged_contractor(
         tree, stage_size=6, split_complex=True, strip_exponent=strip,
+        gate_mode="window",
     )
     if strip:
         out, exp = fn(*arrays)
@@ -152,6 +153,7 @@ def test_windowed_plane_io(instance):
     inputs, output, size_dict, arrays, ref, tree = instance
     fn = make_grouped_staged_contractor(
         tree, stage_size=6, split_complex=True, plane_io=True,
+        gate_mode="window",
     )
     planes = [to_plane_array(a) for a in arrays]
     out = np.asarray(fn(*planes))
@@ -174,7 +176,7 @@ def test_windowed_sliced_batched(instance, mode):
     assert st.multiplicity == 4
     fn = make_grouped_staged_contractor(
         st, stage_size=6, split_complex=True,
-        slice_batch=4, slice_batch_mode=mode,
+        slice_batch=4, slice_batch_mode=mode, gate_mode="window",
     )
     out = np.asarray(
         fn(arrays, jnp.arange(4, dtype=jnp.int32))
@@ -194,8 +196,40 @@ def test_window_chain_multi_cluster_exactness():
     tree = linear_tree(inputs, output, size_dict)
     fn = make_grouped_staged_contractor(
         tree, stage_size=4, split_complex=True,
-        plane_dtype=jnp.float64,
+        plane_dtype=jnp.float64, gate_mode="window",
     )
     arrays128 = [a.astype(np.complex128) for a in arrays]
     got = np.asarray(fn(*arrays128))
     np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+def test_hoisted_operator_cache_cross_check(instance, monkeypatch):
+    """The identity-keyed hoisted-operator cache must be semantically
+    invisible: calling the same contractor twice with the SAME leaf
+    objects (cache hit) must equal a cache-bypassed build, and changed
+    leaf objects must not return stale operators."""
+    inputs, output, size_dict, arrays, ref, tree = instance
+
+    fn = make_grouped_staged_contractor(
+        tree, stage_size=6, split_complex=True, gate_mode="window"
+    )
+    first = np.asarray(fn(*arrays))
+    again = np.asarray(fn(*arrays))  # identical leaves: cache-hit path
+    np.testing.assert_array_equal(first, again)
+
+    # recompute from scratch with the cache disabled entirely
+    monkeypatch.setenv("CTG_OP_CACHE", "0")
+    fn_nc = make_grouped_staged_contractor(
+        tree, stage_size=6, split_complex=True, gate_mode="window"
+    )
+    fresh = np.asarray(fn_nc(*arrays))
+    np.testing.assert_allclose(first, fresh, rtol=1e-6)
+    monkeypatch.delenv("CTG_OP_CACHE")
+
+    # new leaf objects with different values must MISS the cache
+    arrays2 = [np.asarray(a) * (1.5 if i == 1 else 1.0)
+               for i, a in enumerate(arrays)]
+    changed = np.asarray(fn(*arrays2))
+    assert not np.allclose(changed, first)
+    ref2 = reference_value(inputs, output, arrays2)
+    np.testing.assert_allclose(changed, ref2, rtol=2e-4)
