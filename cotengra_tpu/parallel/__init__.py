@@ -1,4 +1,5 @@
 from .mesh import (
+    broadcast_tree,
     contract_sharded,
     get_default_mesh,
     get_global_mesh,
@@ -14,6 +15,7 @@ from .pools import (
 )
 
 __all__ = [
+    "broadcast_tree",
     "contract_sharded",
     "get_default_mesh",
     "get_global_mesh",

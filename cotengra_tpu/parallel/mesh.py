@@ -115,6 +115,51 @@ def maybe_init_distributed(
     return jax.process_count() > 1
 
 
+def broadcast_tree(tree, root=0):
+    """Make every process use process ``root``'s contraction tree.
+
+    SPMD execution requires all processes to trace the *same* program;
+    stochastic planning (hyper search, SliceFinder) can legitimately
+    pick different trees/sliced indices on different hosts, which would
+    silently diverge the compiled programs and corrupt the psum. The
+    rank-0-plans-then-broadcasts discipline is the same as the
+    reference's MPI example (``examples/ex_mpi_spmd.py``); here the
+    serialized tree rides the jax coordination service. No-op (returns
+    ``tree`` unchanged) in single-process runs.
+    """
+    if jax.process_count() <= 1:
+        return tree
+    import io
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from ..utils.io import load_tree, save_tree
+
+    buf = io.StringIO()
+    save_tree(buf, tree)
+    payload = np.frombuffer(
+        buf.getvalue().encode("utf-8"), np.uint8
+    ).copy()
+    is_root = jax.process_index() == root
+    # broadcast_one_to_all needs same-shaped operands: length first
+    n = int(
+        multihost_utils.broadcast_one_to_all(
+            np.int64(payload.size), is_source=is_root
+        )
+    )
+    flat = np.zeros(n, np.uint8)
+    if is_root:
+        flat[:] = payload
+    flat = np.asarray(
+        multihost_utils.broadcast_one_to_all(flat, is_source=is_root)
+    )
+    if is_root:
+        return tree
+    data = io.StringIO(bytes(flat).decode("utf-8"))
+    return load_tree(data, tree.inputs, tree.output, tree.size_dict)
+
+
 def get_global_mesh(axis_name="slices"):
     """A 1D mesh over every device of every process (multi-host when
     ``jax.distributed`` is initialized - see
