@@ -30,6 +30,7 @@ engines use internally), propagated through the whole tree so the
 high-rank form never exists on device.
 """
 
+import functools
 import os
 import sys
 import time
@@ -144,10 +145,58 @@ def _split_block_factors(block_dims, perm):
     return shape, eperm
 
 
+# Sub-tile transposes (a whole gate tensor inside one (8,128) tile) hit
+# a pathological relayout path on TPU: a 32-element permuted copy inside
+# the m=10 bench's scan body measured 6.5 ms - about 10^5x off. Tiny
+# block transposes are instead expressed as one-hot matmuls, which
+# always lower to a single fast MXU pass. Exact for every plane dtype:
+# each output row has exactly one unit coefficient (HIGHEST precision
+# keeps f32 values f32-precise through the TPU's bf16 MXU passes).
+SMALL_T_MATMUL_MAX = int(os.environ.get("CTG_SMALL_T_MATMUL_MAX", "4096"))
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_matrix(block_dims, perm):
+    src = np.arange(prod(block_dims)).reshape(block_dims)
+    src = src.transpose(perm).ravel()
+    n = src.size
+    p = np.zeros((n, n), np.float32)
+    p[np.arange(n), src] = 1.0
+    return p
+
+
+def _apply_plan_matmul(flat, plan, nplanes):
+    """out[p, i] = flat[p, src[i]] as (nplanes, n) @ (n, n) one-hot."""
+    block_dims, perm = plan
+    p = _perm_matrix(tuple(block_dims), tuple(perm))
+    x = flat.reshape(nplanes, flat.size // nplanes)
+    if jnp.issubdtype(flat.dtype, jnp.complexfloating):
+        pj = jnp.asarray(p, flat.dtype.type(1).real.dtype)
+        out_r = jax.lax.dot_general(
+            x.real, pj, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_i = jax.lax.dot_general(
+            x.imag, pj, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out = jax.lax.complex(out_r, out_i)
+    else:
+        out = jax.lax.dot_general(
+            x, jnp.asarray(p, flat.dtype),
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=flat.dtype,
+        )
+    return out.reshape((flat.size,))
+
+
 def _apply_block_plan(flat, plan):
     if plan is None:
         return flat
     block_dims, perm = plan
+    if flat.size <= SMALL_T_MATMUL_MAX:
+        return _apply_plan_matmul(flat, plan, 1)
     # transpose + compacting 1-D reshape expressed as ONE lax.reshape
     # (dimensions=perm), with large trailing dims 128-split so any
     # materialized intermediate is tile-exact (see _split_block_factors)
@@ -1127,6 +1176,8 @@ def _apply_block_plan_split(flat, plan):
     if plan is None:
         return flat
     block_dims, perm = plan
+    if flat.size <= 2 * SMALL_T_MATMUL_MAX:
+        return _apply_plan_matmul(flat, plan, 2)
     # single fused transpose+compact-reshape, 128-split; see
     # _apply_block_plan / _split_block_factors
     shape, eperm = _split_block_factors(block_dims, perm)

@@ -44,6 +44,52 @@ def test_block_plan_random_perms(seed):
     assert (got == expect).all()
 
 
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("dtype", ["float32", "float64", "complex64"])
+def test_small_transpose_matmul_exact(seed, dtype):
+    """Tiny block transposes run as one-hot matmuls (the sub-tile
+    relayout path on TPU is pathologically slow); the matmul form must
+    be element-exact for every plane dtype."""
+    import random
+
+    import jax.numpy as jnp
+
+    from cotengra_tpu.ops.grouped import (
+        SMALL_T_MATMUL_MAX,
+        _apply_block_plan,
+        _apply_block_plan_split,
+    )
+
+    rng = random.Random(seed)
+    nd = rng.randint(2, 5)
+    block_dims = tuple(rng.choice([2, 3, 4]) for _ in range(nd))
+    perm = list(range(nd))
+    rng.shuffle(perm)
+    perm = tuple(perm)
+    n = int(np.prod(block_dims))
+    assert n <= SMALL_T_MATMUL_MAX
+
+    r = np.random.default_rng(seed)
+    if dtype == "complex64":
+        x = (r.normal(size=n) + 1j * r.normal(size=n)).astype(dtype)
+        got = np.asarray(
+            _apply_block_plan(jnp.asarray(x), (block_dims, perm))
+        )
+        expect = x.reshape(block_dims).transpose(perm).ravel()
+        np.testing.assert_array_equal(got, expect)
+    else:
+        x = r.normal(size=2 * n).astype(dtype)
+        got = np.asarray(
+            _apply_block_plan_split(jnp.asarray(x), (block_dims, perm))
+        )
+        expect = (
+            x.reshape((2,) + block_dims)
+            .transpose((0,) + tuple(p + 1 for p in perm))
+            .ravel()
+        )
+        np.testing.assert_array_equal(got, expect)
+
+
 def _circuit_tree(n_qubits=26, depth=14, seed=2):
     from cotengra_tpu.models.circuits import rand_circuit_tn
     from cotengra_tpu.ops.preprocess import absorb_simple_tensors
