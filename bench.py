@@ -123,6 +123,7 @@ def main():
         for t in [tgt_log] + list(range(tgt_log + 1, 33))
     ]
     tree = None
+    ref_file = None  # CPU-f64 reference amplitude sidecar, if usable
     if not int(os.environ.get("BENCH_REPLAN", "0")):
         from cotengra_tpu.utils.io import load_tree
 
@@ -142,6 +143,10 @@ def main():
                     target_size,
                     reconf_opts={"subtree_size": 6, "maxiter": 30},
                 )
+            else:
+                # plan used verbatim: its slice enumeration matches the
+                # committed reference amplitude (scratch/make_ref_amp.py)
+                ref_file = plan_file[:-5] + ".refamp.json"
             break
 
     if tree is None:
@@ -198,32 +203,42 @@ def main():
         to_plane_array,
     )
 
-    nsl = tree.multiplicity
-    sb = max(1, min(int(os.environ.get("BENCH_SLICE_BATCH", "16")), nsl))
-    nbench = min(nsl, max(sb, 16))
-    nbench = (nbench // sb) * sb
-
-    ss = int(os.environ.get("BENCH_STAGE_SIZE", "64"))
+    ss0 = int(os.environ.get("BENCH_STAGE_SIZE", "64"))
+    sb0 = int(os.environ.get("BENCH_SLICE_BATCH", "16"))
     fg = bool(int(os.environ.get("BENCH_FUSE_GATES", "0")))
     mode = os.environ.get("BENCH_SLICE_MODE", "auto")
-    print(
-        f"# staged grouped compile ({ss} steps/stage, fuse={fg}, "
-        f"split+plane_io, slice_batch={sb}, mode={mode})",
-        file=sys.stderr,
-    )
     pdt = os.environ.get("BENCH_PLANE_DTYPE")  # e.g. "bfloat16"
-    # gate-chain executor: "window" (MXU dot_generals, round-3 default),
-    # "inplace" (round-2 pallas kernels), or "none"
-    gm = os.environ.get("BENCH_GATE_MODE", "auto")
+    # gate-chain executor: "inplace" (pallas kernels, measured end-to-end
+    # winner and the "auto" default), "window" (MXU dot_generals,
+    # opt-in), or "none"
+    gm0 = os.environ.get("BENCH_GATE_MODE", "auto")
     # matmul precision: on TPU, DEFAULT lowers f32 dots to fast bf16
     # multiplies (f32 accumulate); "highest" forces true-f32 multi-pass.
     # The accuracy/speed trade is measured on chip (TPU_RUNBOOK step 4b)
     prec = os.environ.get("BENCH_MATMUL_PRECISION") or None  # e.g. "highest"
 
-    def build_core(stage_size):
-        return make_grouped_staged_contractor(
+    def attempt(tree, ss, sb, gm):
+        """Compile + warm up + time one bench configuration.
+
+        Returns (amp0, best_seconds, nbench, compile_seconds). Raises on
+        compile failure or device OOM - the caller degrades and retries.
+        A failed device execution on this remote backend surfaces at the
+        np.asarray value pull inside run_pass, so every path that can
+        OOM is inside this function.
+        """
+        nsl = tree.multiplicity
+        sb = max(1, min(sb, nsl))
+        nbench = min(nsl, max(sb, 16))
+        nbench = (nbench // sb) * sb
+        print(
+            f"# staged grouped compile ({ss} steps/stage, fuse={fg}, "
+            f"split+plane_io, slice_batch={sb}, mode={mode}, gate={gm})",
+            file=sys.stderr,
+        )
+        t_c0 = time.time()
+        core = make_grouped_staged_contractor(
             tree,
-            stage_size=stage_size,
+            stage_size=ss,
             fuse_gates=fg,
             split_complex=True,
             plane_io=True,
@@ -233,61 +248,60 @@ def main():
             gate_mode=None if gm == "none" else gm,
             precision=prec,
         )
+        planes = [jnp.asarray(to_plane_array(a)) for a in arrays]
+        if nsl > 1:
+            id_batches = [
+                jnp.arange(k * sb, (k + 1) * sb, dtype=jnp.int32)
+                for k in range(max(1, nbench // sb))
+            ]
 
-    core = build_core(ss)
-    planes = [jnp.asarray(to_plane_array(a)) for a in arrays]
-    if nsl > 1:
-        id_batches = [
-            jnp.arange(k * sb, (k + 1) * sb, dtype=jnp.int32)
-            for k in range(max(1, nbench // sb))
-        ]
+            def run_pass():
+                # returns the host-side (pulled) partial amplitude planes
+                acc = None
+                for ids in id_batches:
+                    r = jnp.sum(core(planes, ids), axis=0)
+                    acc = r if acc is None else acc + r
+                return np.asarray(acc)
 
-        def run_pass():
-            # returns the host-side (pulled) partial amplitude planes
-            acc = None
-            for ids in id_batches:
-                r = jnp.sum(core(planes, ids), axis=0)
-                acc = r if acc is None else acc + r
-            return np.asarray(acc)
+        else:
+            nbench = 1
 
-    else:
-        nbench = 1
+            def run_pass():
+                return np.asarray(core(*planes))
 
-        def run_pass():
-            return np.asarray(core(*planes))
-
-    try:
         amp0 = run_pass()  # compile + warmup + correctness anchor
-    except Exception as e:  # remote-compile helper can be OOM-killed
-        # (observed: "tpu_compile_helper subprocess exit signal SIGKILL")
-        # on large stage programs; retry once with much smaller stages
-        if ss <= 8:
-            raise
-        print(
-            f"# compile failed ({type(e).__name__}: {e}); "
-            "retrying with 8-step stages",
-            file=sys.stderr,
-        )
-        ss = 8
-        core = build_core(ss)
-        amp0 = run_pass()
-    if not np.all(np.isfinite(amp0)) or not np.any(amp0):
-        print("# FATAL: warmup amplitude not finite/nonzero", file=sys.stderr)
-        sys.exit(1)
-    t_compile = time.time() - t0 - t_plan
+        if not np.all(np.isfinite(amp0)) or not np.any(amp0):
+            raise RuntimeError("warmup amplitude not finite/nonzero")
+        t_compile = time.time() - t_c0
 
-    best = float("inf")
-    for _ in range(int(os.environ.get("BENCH_PASSES", "3"))):
-        t1 = time.time()
-        amp = run_pass()
-        dt = time.time() - t1
-        if not np.allclose(amp, amp0, rtol=1e-4, atol=1e-12):
-            print("# FATAL: unstable amplitude between passes", file=sys.stderr)
-            sys.exit(1)
-        best = min(best, dt)
+        best = float("inf")
+        for _ in range(int(os.environ.get("BENCH_PASSES", "3"))):
+            t1 = time.time()
+            amp = run_pass()
+            dt = time.time() - t1
+            if not np.allclose(amp, amp0, rtol=1e-4, atol=1e-12):
+                raise RuntimeError("unstable amplitude between passes")
+            best = min(best, dt)
+        return amp0, best, nbench, t_compile
 
+    amp0, best, nbench, t_compile = attempt(tree, ss0, sb0, gm0)
+
+    nsl = tree.multiplicity
     flops_per_slice = tree.total_flops(dtype="complex") / nsl
     tflops = flops_per_slice * nbench / best / 1e12
+
+    # -- numerics: error bar vs committed CPU-f64 reference ---------------
+    # scratch/make_ref_amp.py contracts the same plan's first-n slices in
+    # numpy f64 and commits the partial amplitude next to the plan; every
+    # published rate then carries an on-chip amplitude relerr.
+    relerr = None
+    if ref_file and os.path.exists(ref_file) and not pdt:
+        with open(ref_file) as f:
+            refs = {int(k): v for k, v in json.load(f)["amps"].items()}
+        if nbench in refs:
+            ref_amp = complex(*refs[nbench])
+            dev_amp = complex(amp0[0], amp0[1])
+            relerr = abs(dev_amp - ref_amp) / abs(ref_amp)
 
     sol, gen = detect_sol_tflops()
     target = 0.6 * sol
@@ -302,11 +316,94 @@ def main():
         f"nslices={nsl} bench_slices={nbench} time={best:.3f}s "
         f"compile={t_compile:.1f}s total={time.time() - t_start:.1f}s "
         f"SoL({gen})={sol} TFLOP/s "
-        f"amp={complex(amp0[0], amp0[1]):.3e}",
+        f"amp={complex(amp0[0], amp0[1]):.3e}"
+        + (
+            f" relerr_vs_cpu_f64={relerr:.2e}"
+            if relerr is not None
+            else ""
+        ),
         file=sys.stderr,
     )
     print(json.dumps(result))
 
 
+def run_ladder():
+    """Runtime-OOM fallback ladder, one subprocess per rung.
+
+    The driver records this script's rc; a live chip must NEVER produce
+    rc=1 just because the first-choice configuration exhausts HBM or
+    the remote compile helper dies. Crucially the retry MUST be a fresh
+    process: on this remote backend a failed (OOM/poisoned) execution's
+    buffers are never reclaimed within the owning process - after one
+    RESOURCE_EXHAUSTED even a few-MB device_put fails (measured; the
+    round-3 crash had the same signature) - but disconnect frees
+    everything. Degrade in measured-impact order: smaller slice batch
+    -> smaller stage programs -> pallas inplace gate mode -> smaller
+    slice target.
+    """
+    import subprocess
+
+    ss0 = int(os.environ.get("BENCH_STAGE_SIZE", "64"))
+    sb0 = int(os.environ.get("BENCH_SLICE_BATCH", "16"))
+    gm0 = os.environ.get("BENCH_GATE_MODE", "auto")
+    tgt_log = int(os.environ.get("BENCH_TARGET_SIZE", "27"))
+
+    rungs = [{}]
+    if sb0 > 4:
+        rungs.append({"BENCH_SLICE_BATCH": "4"})
+    if ss0 > 8:
+        rungs.append({"BENCH_SLICE_BATCH": "4", "BENCH_STAGE_SIZE": "8"})
+    if gm0 not in ("inplace", "none"):
+        rungs.append(
+            {
+                "BENCH_SLICE_BATCH": "4",
+                "BENCH_STAGE_SIZE": "8",
+                "BENCH_GATE_MODE": "inplace",
+            }
+        )
+    if tgt_log > 20:
+        rungs.append(
+            {
+                "BENCH_SLICE_BATCH": "4",
+                "BENCH_STAGE_SIZE": "8",
+                "BENCH_GATE_MODE": "inplace",
+                "BENCH_TARGET_SIZE": str(min(26, tgt_log - 1)),
+            }
+        )
+
+    me = os.path.abspath(__file__)
+    for i, over in enumerate(rungs):
+        env = dict(os.environ)
+        env.update(over)
+        env["BENCH_LADDER_CHILD"] = "1"
+        if over:
+            print(f"# ladder rung {i}: {over}", file=sys.stderr)
+        p = subprocess.run(
+            [sys.executable, me], env=env,
+            stdout=subprocess.PIPE,  # stderr passes straight through
+        )
+        out = p.stdout.decode(errors="replace")
+        if p.returncode == 0:
+            for line in reversed(out.splitlines()):
+                if line.startswith("{"):
+                    print(line)
+                    return 0
+        if p.returncode == 3:
+            # liveness-probe timeout: the tunnel is wedged; retrying
+            # other configurations would just burn 10 min per rung
+            print("# tunnel wedged; aborting ladder", file=sys.stderr)
+            return 3
+        print(
+            f"# rung {i} failed (rc={p.returncode}); degrading",
+            file=sys.stderr,
+        )
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_LADDER_CHILD") or os.environ.get(
+        "BENCH_NO_LADDER"
+    ):
+        main()
+    else:
+        sys.exit(run_ladder())

@@ -48,24 +48,29 @@ exists because of TPU tiled-layout economics (relayouts pad up to 64x,
 while MXU flops are nearly free next to HBM traffic).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..utils.misc import prod
 
 # window caps: identity-inflation flops scale with S (2*S flops per
-# stored scalar); ~1024-2048 balances MXU time against the HBM pass
-S_MAX = 1024
+# stored scalar); ~1024-2048 balances MXU time against the HBM pass.
+# All env-overridable (CTG_WIN_*): the caps trade W2 operator bytes
+# (HBM + host-build + tunnel-push, measured 945 MB total at the 4096
+# caps on the m=10 bench) against window-step count and realignments.
+S_MAX = int(os.environ.get("CTG_WIN_S_MAX", "1024"))
 # absolute cap (window-size product): the dense operator is
 # 4*S_in*S_out*4 bytes, built on device per pass (268 MB at 4096 -
 # only chosen when nothing smaller is feasible; the cost model
 # charges for operator size)
-S_HARD = 4096
+S_HARD = int(os.environ.get("CTG_WIN_S_HARD", "4096"))
 # cap on the OUTPUT window product: gates can grow the window (ny
 # bigger than c), and the dense operator scales S_in * S_out - an
 # uncapped expansion cluster materializes a multi-GB operator (8
 # doubling gates at S_in=4096 gave a 17 GB W2 before this cap)
-S_OUT_MAX = 4096
+S_OUT_MAX = int(os.environ.get("CTG_WIN_S_OUT_MAX", "4096"))
 # when splitting scattered gate axes into multiple windows: merge two
 # neighboring windows when the gap between them is at most this big
 GAP_MERGE = 8

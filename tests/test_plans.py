@@ -60,5 +60,20 @@ def test_plan_hash_rejects_wrong_instance(tmp_path):
 
 def test_all_committed_plans_parse():
     for path in glob.glob(os.path.join(PLAN_DIR, "*.json")):
+        if path.endswith(".refamp.json"):
+            # CPU-f64 reference-amplitude sidecar, not a plan
+            continue
         data = json.load(open(path))
         assert "hash_b" in data and "children" in data
+
+
+def test_refamp_sidecars_parse():
+    """bench.py relerr sidecars (scratch/make_ref_amp.py) carry f64
+    partial amplitudes keyed by first-n slice count."""
+    for path in glob.glob(os.path.join(PLAN_DIR, "*.refamp.json")):
+        data = json.load(open(path))
+        assert data["dtype"] == "complex128"
+        for n, (re, im) in data["amps"].items():
+            assert int(n) > 0
+            assert math.isfinite(re) and math.isfinite(im)
+            assert (re, im) != (0.0, 0.0)
