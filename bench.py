@@ -212,10 +212,15 @@ def main():
     # winner and the "auto" default), "window" (MXU dot_generals,
     # opt-in), or "none"
     gm0 = os.environ.get("BENCH_GATE_MODE", "auto")
-    # matmul precision: on TPU, DEFAULT lowers f32 dots to fast bf16
-    # multiplies (f32 accumulate); "highest" forces true-f32 multi-pass.
-    # The accuracy/speed trade is measured on chip (TPU_RUNBOOK step 4b)
-    prec = os.environ.get("BENCH_MATMUL_PRECISION") or None  # e.g. "highest"
+    # matmul precision: on TPU, DEFAULT lowers f32 dots to bf16
+    # multiplies (f32 accumulate), which accumulates to a 4.6%
+    # amplitude error across the m=10 contraction (BASELINE.md round-4
+    # table); "highest" (true-f32 multi-pass) recovers the f32-storage
+    # floor (~1e-6) and, with the scattered pair dot, is faster than
+    # the old DEFAULT+realign path ever was. Default: highest.
+    # BENCH_MATMUL_PRECISION=default opts back into bf16 multiplies.
+    prec = os.environ.get("BENCH_MATMUL_PRECISION", "highest")
+    prec = None if prec in ("", "default") else prec
 
     def attempt(tree, ss, sb, gm):
         """Compile + warm up + time one bench configuration.

@@ -1188,6 +1188,86 @@ def _apply_block_plan_split(flat, plan):
     return _maybe_barrier(out)
 
 
+# Scattered-dims pair dot: skip the explicit x realign entirely.
+# The realign of a big pair operand (an interleaved bit-permutation of
+# a 2^26 tensor) lowers to a reshape+copy+reshape triple measured at
+# ~26 ms/slice on the m=10 bench (at DEFAULT precision XLA even
+# materializes it in bf16 at a padded 16-wide minor dim). A
+# dot_general that contracts the SCATTERED K dim positions of the
+# un-realigned view costs ~nothing extra and compiles ~30x faster
+# (scratch/micro_pairdot2.py: +0.01 ms vs +8.1 ms at 2^26). Only the
+# tiny y operand is realigned. CTG_SCATTER_DOT=0 restores the
+# realign+2-D-dot path.
+_SCATTER_DOT = os.environ.get("CTG_SCATTER_DOT", "1") != "0"
+_SCATTER_MIN = 2 ** int(os.environ.get("CTG_SCATTER_DOT_MIN_LOG2", "20"))
+
+
+def _scattered_pair_dims(p):
+    """K-dim positions of the stored x view for a no-realign pair dot.
+
+    The x realign plan partitions the stored dims into two stable
+    blocks (K-dims first for ``x_layout == 'cm'``, M-dims first for
+    ``'rm'``). Returns ``(block_dims, kpos)`` - with both blocks in
+    increasing stored order, so the direct dot's output dim order
+    matches what the realigned 2-D form would have produced - or None
+    when the plan doesn't split that way.
+    """
+    if p.x_plan is None or p.B != 1:
+        return None
+    block_dims, perm = p.x_plan
+    lead = p.K if p.x_layout == "cm" else p.M
+    acc, nlead = 1, 0
+    for q in perm:
+        if acc == lead:
+            break
+        acc *= block_dims[q]
+        nlead += 1
+    if acc != lead:
+        return None
+    kpos = perm[:nlead] if p.x_layout == "cm" else perm[nlead:]
+    mpos = perm[nlead:] if p.x_layout == "cm" else perm[:nlead]
+    if list(mpos) != sorted(mpos) or list(kpos) != sorted(kpos):
+        return None
+    return tuple(block_dims), tuple(kpos)
+
+
+def _split_pair_scattered(
+    x_flat, yf, p, block_dims, kpos, precision, pet
+):
+    """One real-block dot_general on the un-realigned x view.
+
+    lhs (2N, 2, *kdims) carries the complex combine over the plane
+    axis: out rows [0:N] = yr.xr - yi.xi (real), rows [N:2N] =
+    yi.xr + yr.xi (imag); contracting (plane, K-dims) of the stored
+    view yields (2N, *m-dims) - already plane-major (N, M).
+    """
+    N, K = p.N, p.K
+    if p.mode == "mm":
+        y2 = yf.reshape(2, N, K)
+        yr, yi = y2[0], y2[1]
+    else:  # y stored (K, N)
+        y2 = yf.reshape(2, K, N)
+        yr, yi = y2[0].T, y2[1].T
+    lhs = jnp.stack(
+        [
+            jnp.concatenate([yr, yi], axis=0),    # x real-plane coeffs
+            jnp.concatenate([-yi, yr], axis=0),   # x imag-plane coeffs
+        ],
+        axis=1,
+    )  # (2N, 2, K)
+    kdims = tuple(block_dims[q] for q in kpos)
+    lhs = lhs.reshape((2 * N, 2) + kdims)
+    x2 = x_flat.reshape((2,) + tuple(block_dims))
+    dn = (
+        (tuple(range(1, 2 + len(kpos))), (0,) + tuple(q + 1 for q in kpos)),
+        ((), ()),
+    )
+    out = jax.lax.dot_general(
+        lhs, x2, dn, precision=precision, preferred_element_type=pet
+    )  # (2N, *mdims)
+    return _maybe_barrier(out.reshape(-1))
+
+
 def _split_apply_small_y(
     xf, x_layout, M, K, N, ykn_r, ykn_i, precision, pet
 ):
@@ -1428,6 +1508,22 @@ def _exec_steps_split(
 
         p = info
         B, M, K, N = p.B, p.M, p.K, p.N
+        if (
+            _SCATTER_DOT
+            and p.mode != "bmm"
+            and 2 * K * M >= _SCATTER_MIN
+        ):
+            scat = _scattered_pair_dims(p)
+            if scat is not None:
+                yf = _apply_block_plan_split(temps[p.y_id], p.y_plan)
+                out = _split_pair_scattered(
+                    temps[p.x_id], yf, p, scat[0], scat[1],
+                    precision, pet,
+                )
+                if strip_exponent:
+                    out = strip(out)
+                store(p.out_id, out, (B, N, M), si, (p.x_id, p.y_id))
+                continue
         xf = _apply_block_plan_split(temps[p.x_id], p.x_plan)
         yf = _apply_block_plan_split(temps[p.y_id], p.y_plan)
 

@@ -66,6 +66,10 @@ FIELD_GATE_BUDGET = (
 FIELD_CHAIN_BUDGET = (
     int(os.environ.get("CTG_FIELD_CHAIN_BUDGET_KB", "16384")) * 1024
 )
+# grid dimension semantics for the chain kernels ("arbitrary" or
+# "parallel"); every grid cell writes a disjoint output block, so
+# "parallel" is valid - kept selectable for on-chip A/B timing
+_GRID_SEM = os.environ.get("CTG_GRID_SEMANTICS", "arbitrary")
 
 
 class ChainSpec:
@@ -779,7 +783,11 @@ def _build_pallas_fn(key, dtype_name, interpret):
                 memory_space=pltpu.VMEM,
             ),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary"),
+                # both grid dims write disjoint output blocks, so
+                # "parallel" is semantically valid; it lets Mosaic
+                # reorder/pipeline grid steps. CTG_GRID_SEMANTICS
+                # selects for A/B measurement on real hardware.
+                dimension_semantics=(_GRID_SEM, _GRID_SEM),
             ),
             interpret=interpret,
         )(*ys, *fields, x)

@@ -294,3 +294,64 @@ def test_ids_to_digits_beyond_int64():
     assert list(digs[1]) == [1, 0, 0, 0, 0]
     assert list(digs[2]) == [0, 1, 0, 0, 0]
     assert list(digs[3]) == [1, 2, 0, 0, 3]
+
+
+def test_scattered_pair_dot_exact(monkeypatch):
+    """The no-realign scattered pair dot (CTG_SCATTER_DOT) must equal
+    the realign+2-D-dot path bit-for-bit at HIGHEST precision paths on
+    CPU, across a full circuit contraction (threshold forced to 0 so
+    every eligible pair takes the scattered path)."""
+    from cotengra_tpu.ops import grouped
+
+    tree, arrays = _circuit_tree()
+    ref = tree.contract(arrays)
+
+    monkeypatch.setattr(grouped, "_SCATTER_DOT", True)
+    monkeypatch.setattr(grouped, "_SCATTER_MIN", 0)
+    fn = make_grouped_staged_contractor(
+        tree, stage_size=10, split_complex=True
+    )
+    got = fn(*arrays)
+    assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=5e-6, atol=1e-12
+    )
+
+    # and the explicitly disabled path still matches
+    monkeypatch.setattr(grouped, "_SCATTER_DOT", False)
+    fn2 = make_grouped_staged_contractor(
+        tree, stage_size=10, split_complex=True
+    )
+    got2 = fn2(*arrays)
+    assert_allclose(
+        np.asarray(got2), np.asarray(ref), rtol=5e-6, atol=1e-12
+    )
+
+
+def test_scattered_pair_dims_partition():
+    """_scattered_pair_dims recovers the K positions of a stable
+    two-block realign plan and rejects interleaved M blocks."""
+    from cotengra_tpu.ops.grouped import _scattered_pair_dims
+
+    class P:
+        B = 1
+        K = 8
+        M = 32
+        x_layout = "cm"
+        x_plan = ((4, 2, 2, 4, 2, 2), (1, 3, 0, 2, 4, 5))
+
+    dims_kpos = _scattered_pair_dims(P())
+    assert dims_kpos is not None
+    dims, kpos = dims_kpos
+    assert kpos == (1, 3)
+    assert int(np.prod([dims[q] for q in kpos])) == P.K
+
+    class P2(P):
+        # M block not in increasing stored order -> ineligible
+        x_plan = ((4, 2, 2, 4, 2, 2), (1, 3, 2, 0, 4, 5))
+
+    assert _scattered_pair_dims(P2()) is None
+
+    class P3(P):
+        x_plan = None
+
+    assert _scattered_pair_dims(P3()) is None
