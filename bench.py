@@ -67,9 +67,23 @@ def main():
         _x = jnp.ones((256, 256), jnp.float32)
         _v = _np.asarray(_x @ _x)
         assert _np.isfinite(_v).all() and _v[0, 0] == 256.0
+        # second round-trip times the warm dispatch+pull path: a healthy
+        # tunnel does this in ~25-50 ms. A sick-but-alive tunnel (seen
+        # at ~2 s/roundtrip) produces rc=0 with a number that measures
+        # the tunnel, not the chip - flag it so the record says so.
+        _t0 = time.time()
+        _v = _np.asarray(_x @ _x)
+        _rt = time.time() - _t0
         _wd.cancel()
         print(
-            f"# device probe ok ({jax.devices()[0].platform})",
+            f"# device probe ok ({jax.devices()[0].platform}), "
+            f"roundtrip={_rt * 1e3:.0f}ms"
+            + (
+                " [TUNNEL DEGRADED: dispatch latency >10x healthy;"
+                " timings below measure the tunnel, not the chip]"
+                if _rt > 0.5
+                else ""
+            ),
             file=sys.stderr,
         )
 
@@ -117,11 +131,15 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "plans"
     )
     tgt_log = target_size.bit_length() - 1
-    # exact-target plan first, then any higher-target plan (sliced down)
-    candidates = [
-        os.path.join(plan_dir, f"sycamore53_m{m}_t{t}.json")
-        for t in [tgt_log] + list(range(tgt_log + 1, 33))
-    ]
+    # exact-target plan first, then any higher-target plan (sliced down);
+    # BENCH_PLAN pins a specific plan file (A/B of plan variants)
+    if os.environ.get("BENCH_PLAN"):
+        candidates = [os.environ["BENCH_PLAN"]]
+    else:
+        candidates = [
+            os.path.join(plan_dir, f"sycamore53_m{m}_t{t}.json")
+            for t in [tgt_log] + list(range(tgt_log + 1, 33))
+        ]
     tree = None
     ref_file = None  # CPU-f64 reference amplitude sidecar, if usable
     if not int(os.environ.get("BENCH_REPLAN", "0")):

@@ -1979,10 +1979,13 @@ def make_grouped_staged_contractor(
     if gate_mode == "auto":
         # gate chains run on split planes only. "inplace" (pallas,
         # round 2) is the measured end-to-end winner on the v5e bench
-        # (0.513 TFLOP/s vs window-mode OOM/0.02, round 4) and is the
-        # default; "window" (MXU dot_generals, round 3) remains opt-in
-        # - its dense W2 operators cost ~1 GB of HBM + host build/push
-        # per contraction and have not beaten inplace end to end.
+        # and the default; "window" (MXU dot_generals, round 3) remains
+        # opt-in: at full caps its hoisted W2 operators cost 945 MB of
+        # HBM (OOM alongside the 2^28 peak), and at small caps
+        # (CTG_WIN_S_*, 120 MB) it runs green but slower - round-4
+        # m=10 numbers: inplace+scattered-dot 1.141-1.185 s vs window
+        # 1.619 s per 8 slices. The MXU wins per-op but loses end to
+        # end to the window realignments and operator traffic.
         if not split_complex:
             gate_mode = None
         else:
