@@ -372,14 +372,21 @@ def run_ladder():
     tgt_log = int(os.environ.get("BENCH_TARGET_SIZE", "27"))
 
     rungs = [{}]
-    if sb0 > 4:
-        rungs.append({"BENCH_SLICE_BATCH": "4"})
+    # slice_batch is the cheapest knob (peak HBM scales with it and the
+    # per-slice rate is nearly flat down to 2) - exhaust it first, all
+    # the way to 1, before touching anything that changes the program.
+    sb_floor = 1
+    sb = sb0
+    while sb > sb_floor:
+        sb = max(sb_floor, sb // 4 if sb > 4 else sb // 2)
+        rungs.append({"BENCH_SLICE_BATCH": str(sb)})
+    sb_min = str(sb_floor)
     if ss0 > 8:
-        rungs.append({"BENCH_SLICE_BATCH": "4", "BENCH_STAGE_SIZE": "8"})
+        rungs.append({"BENCH_SLICE_BATCH": sb_min, "BENCH_STAGE_SIZE": "8"})
     if gm0 not in ("inplace", "none"):
         rungs.append(
             {
-                "BENCH_SLICE_BATCH": "4",
+                "BENCH_SLICE_BATCH": sb_min,
                 "BENCH_STAGE_SIZE": "8",
                 "BENCH_GATE_MODE": "inplace",
             }
@@ -387,7 +394,7 @@ def run_ladder():
     if tgt_log > 20:
         rungs.append(
             {
-                "BENCH_SLICE_BATCH": "4",
+                "BENCH_SLICE_BATCH": sb_min,
                 "BENCH_STAGE_SIZE": "8",
                 "BENCH_GATE_MODE": "inplace",
                 "BENCH_TARGET_SIZE": str(min(26, tgt_log - 1)),
