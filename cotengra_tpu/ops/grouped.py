@@ -1200,6 +1200,15 @@ def _apply_block_plan_split(flat, plan):
 # realign+2-D-dot path.
 _SCATTER_DOT = os.environ.get("CTG_SCATTER_DOT", "1") != "0"
 _SCATTER_MIN = 2 ** int(os.environ.get("CTG_SCATTER_DOT_MIN_LOG2", "20"))
+# Chip-measured (scratch/probe_scatter.py, v5e): XLA folds the
+# scattered-K operand fetch into the MXU load only when the stored
+# view's trailing dim is large - trailing >=64 compiled with ZERO temp,
+# trailing 16 materialized an 8x-padded copy (still cheaper than the
+# realign triple, measured end-to-end), and trailing <=4 materialized
+# at 32-64x padding or failed to compile outright (the combo-plan OOM:
+# 16G for a 256M view). Pairs whose trailing stored dim is below this
+# floor fall back to the explicit tile-aware realign path.
+_SCATTER_MIN_TRAIL = int(os.environ.get("CTG_SCATTER_MIN_TRAIL", "16"))
 
 
 def _scattered_pair_dims(p):
@@ -1227,6 +1236,11 @@ def _scattered_pair_dims(p):
     kpos = perm[:nlead] if p.x_layout == "cm" else perm[nlead:]
     mpos = perm[nlead:] if p.x_layout == "cm" else perm[:nlead]
     if list(mpos) != sorted(mpos) or list(kpos) != sorted(kpos):
+        return None
+    if block_dims[-1] < _SCATTER_MIN_TRAIL:
+        # XLA would materialize the un-realigned view with a padded
+        # minor dim (up to 64x, or a compile failure) - see
+        # _SCATTER_MIN_TRAIL above; the realign path is safe
         return None
     return tuple(block_dims), tuple(kpos)
 

@@ -335,9 +335,9 @@ def test_scattered_pair_dims_partition():
     class P:
         B = 1
         K = 8
-        M = 32
+        M = 512
         x_layout = "cm"
-        x_plan = ((4, 2, 2, 4, 2, 2), (1, 3, 0, 2, 4, 5))
+        x_plan = ((4, 2, 2, 4, 2, 16), (1, 3, 0, 2, 4, 5))
 
     dims_kpos = _scattered_pair_dims(P())
     assert dims_kpos is not None
@@ -347,9 +347,17 @@ def test_scattered_pair_dims_partition():
 
     class P2(P):
         # M block not in increasing stored order -> ineligible
-        x_plan = ((4, 2, 2, 4, 2, 2), (1, 3, 2, 0, 4, 5))
+        x_plan = ((4, 2, 2, 4, 2, 16), (1, 3, 2, 0, 4, 5))
 
     assert _scattered_pair_dims(P2()) is None
+
+    class P2b(P):
+        # tiny trailing stored dim -> XLA would materialize the view
+        # at up to 64x padding (chip-measured); ineligible
+        M = 64
+        x_plan = ((4, 2, 2, 4, 2, 2), (1, 3, 0, 2, 4, 5))
+
+    assert _scattered_pair_dims(P2b()) is None
 
     class P3(P):
         x_plan = None
