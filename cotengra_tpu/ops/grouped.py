@@ -191,21 +191,79 @@ def _apply_plan_matmul(flat, plan, nplanes):
     return out.reshape((flat.size,))
 
 
+# Multi-pass tile-exact transposes: when the stored order ends in tiny
+# dims, NO single fused copy can be tile-exact (the 128-split machinery
+# needs a big trailing dim) and XLA materializes the views at up to 64x
+# padding - chip-measured 16 GB for a 256 MB operand (see
+# transpose_synth module docstring). Big, badly-padding block plans are
+# decomposed into a short sequence of copies that each keep >=1024-wide
+# 128-splittable trailing units on both sides.
+_MULTIPASS = os.environ.get("CTG_MULTIPASS", "1") != "0"
+_MULTIPASS_MIN = int(
+    os.environ.get("CTG_MULTIPASS_MIN_BYTES", str(32 * 2**20))
+)
+_MULTIPASS_PAD = float(os.environ.get("CTG_MULTIPASS_PAD_FACTOR", "4"))
+
+
+def _multipass_plan(nbytes, block_dims, perm):
+    """Pass sequence for a big badly-padding block plan, else None."""
+    if not _MULTIPASS or nbytes < _MULTIPASS_MIN:
+        return None
+    from .transpose_synth import (
+        padf,
+        passes_cost,
+        single_pass_pad_factor,
+        synthesize_passes,
+    )
+
+    if single_pass_pad_factor(block_dims, perm) < _MULTIPASS_PAD:
+        return None
+    passes = synthesize_passes(block_dims, perm)
+    if not passes:
+        return None
+    # engage only when the pass sequence's padded read+write traffic
+    # beats the single copy's (it always wins on PEAK memory, but for
+    # moderate pad factors one copy can still be cheaper end to end)
+    single_cost = padf(block_dims[-1]) + padf(block_dims[perm[-1]])
+    if passes_cost(passes) >= single_cost:
+        return None
+    return passes
+
+
+def _apply_fused(flat, block_dims, perm, nplanes):
+    """One fused transpose+compact-reshape copy, 128-split tile-exact.
+
+    ``nplanes``: 0 for a bare flat array, 2 for plane-major storage
+    (the leading plane dim stays at axis 0 and is never padded).
+    """
+    shape, eperm = _split_block_factors(block_dims, perm)
+    if nplanes:
+        t = flat.reshape((nplanes,) + shape)
+        dims = (0,) + eperm
+    else:
+        t = flat.reshape(shape)
+        dims = tuple(p - 1 for p in eperm)
+    out = jax.lax.reshape(t, (flat.size,), dimensions=dims)
+    return _maybe_barrier(out)
+
+
 def _apply_block_plan(flat, plan):
     if plan is None:
         return flat
     block_dims, perm = plan
     if flat.size <= SMALL_T_MATMUL_MAX:
         return _apply_plan_matmul(flat, plan, 1)
+    passes = _multipass_plan(
+        flat.size * flat.dtype.itemsize, block_dims, perm
+    )
+    if passes is not None:
+        for dims_i, perm_i in passes:
+            flat = _apply_fused(flat, dims_i, perm_i, 0)
+        return flat
     # transpose + compacting 1-D reshape expressed as ONE lax.reshape
     # (dimensions=perm), with large trailing dims 128-split so any
     # materialized intermediate is tile-exact (see _split_block_factors)
-    shape, eperm = _split_block_factors(block_dims, perm)
-    t = flat.reshape(shape)
-    out = jax.lax.reshape(
-        t, (flat.size,), dimensions=tuple(p - 1 for p in eperm)
-    )
-    return _maybe_barrier(out)
+    return _apply_fused(flat, block_dims, perm, 0)
 
 
 class _GroupedPair:
@@ -1178,14 +1236,16 @@ def _apply_block_plan_split(flat, plan):
     block_dims, perm = plan
     if flat.size <= 2 * SMALL_T_MATMUL_MAX:
         return _apply_plan_matmul(flat, plan, 2)
+    passes = _multipass_plan(
+        flat.size * flat.dtype.itemsize, block_dims, perm
+    )
+    if passes is not None:
+        for dims_i, perm_i in passes:
+            flat = _apply_fused(flat, dims_i, perm_i, 2)
+        return flat
     # single fused transpose+compact-reshape, 128-split; see
     # _apply_block_plan / _split_block_factors
-    shape, eperm = _split_block_factors(block_dims, perm)
-    t = flat.reshape((2,) + shape)
-    out = jax.lax.reshape(
-        t, (flat.size,), dimensions=(0,) + eperm
-    )
-    return _maybe_barrier(out)
+    return _apply_fused(flat, block_dims, perm, 2)
 
 
 # Scattered-dims pair dot: skip the explicit x realign entirely.
