@@ -337,6 +337,7 @@ def main():
     print(
         f"# log10[FLOPs]={tree.total_flops(log=10):.2f} "
         f"nslices={nsl} bench_slices={nbench} time={best:.3f}s "
+        f"time_to_amplitude={best * nsl / nbench:.3f}s "
         f"compile={t_compile:.1f}s total={time.time() - t_start:.1f}s "
         f"SoL({gen})={sol} TFLOP/s "
         f"amp={complex(amp0[0], amp0[1]):.3e}"

@@ -284,9 +284,12 @@ class _GroupedPair:
         "x_id", "y_id", "out_id",
         "x_plan", "y_plan",
         "mode",
-        "x_layout",  # "cm" -> (K, M); "mc" -> (M, K)
+        "x_layout",  # "cm" -> (K, M); "mc" -> (M, K); "scat" -> stored
         "B", "M", "K", "N",
         "out_order",
+        # no-realign scattered dot: (view_dims, kpos) over the stored
+        # x order, decided at plan time (see _scatter_layout)
+        "scatter",
         # recorded for gate-chain fusion
         "c_legs", "ny_legs", "m_legs", "b_legs", "y_size",
     )
@@ -750,6 +753,7 @@ def plan_grouped(
             cand.sort(key=lambda t: t[2])
             return cand[0][0], cand[0][1]
 
+        p.scatter = None
         if B == 1:
             if K < 8:
                 p.mode = "mac"
@@ -770,6 +774,32 @@ def plan_grouped(
                 )
                 y_req = tuple(ny) + tuple(c)      # (N, K), pads only y
             p.out_order = tuple(b) + tuple(ny) + tuple(m)
+            # no-realign scattered dot: contract the stored view's K
+            # positions directly, skipping the big x realign copy (or
+            # multipass copy sequence) entirely. The output carries M
+            # in STORED order - recorded below, downstream adapts.
+            # Chip-measured 57%-of-device-time realign copies on the
+            # MXU-heavy combo plans motivated generalizing this beyond
+            # stable two-block splits (prof_combo256_v, round 4).
+            if (
+                _SCATTER_DOT
+                and p.mode in ("mm", "matvec")
+                and p.x_plan is not None   # realign would cost a copy
+                and 2 * K * M >= _SCATTER_MIN
+            ):
+                sc = _scatter_layout(x_order, set(c), sizes)
+                if sc is not None:
+                    dims, kpos, m_stored, c_stored = sc
+                    p.scatter = (dims, kpos)
+                    p.x_plan = None
+                    p.x_layout = "scat"
+                    m = list(m_stored)
+                    c = list(c_stored)
+                    if p.mode == "mm":
+                        y_req = tuple(ny) + tuple(c)
+                    else:
+                        y_req = tuple(c) + tuple(ny)
+                    p.out_order = tuple(b) + tuple(ny) + tuple(m)
         else:
             p.mode = "bmm"
             p.x_layout = "cm"
@@ -1083,7 +1113,30 @@ def _exec_steps(
         xf = _apply_block_plan(temps[p.x_id], p.x_plan)
         yf = _apply_block_plan(temps[p.y_id], p.y_plan)
 
-        if p.mode == "mac":
+        if p.scatter is not None:
+            # no-realign scattered dot on the stored x view; output
+            # carries M in stored order (p.out_order records it)
+            dims, kpos = p.scatter
+            if p.mode == "mm":
+                y2 = yf.reshape(N, K)
+            else:  # matvec: y stored (K, N)
+                y2 = yf.reshape(K, N).T
+            kdims = tuple(dims[q] for q in kpos)
+            lhs = y2.reshape((N,) + kdims)
+            x2 = xf.reshape(dims)
+            dn = (
+                (tuple(range(1, 1 + len(kpos))), tuple(kpos)),
+                ((), ()),
+            )
+            out = jax.lax.dot_general(
+                lhs,
+                x2,
+                dimension_numbers=dn,
+                precision=precision,
+                preferred_element_type=preferred_element_type,
+            )  # (N, *mdims)
+            out = _maybe_barrier(out)
+        elif p.mode == "mac":
             # unrolled scalar-vector MACs, everything 1-D (no padded
             # buffers). "cm": x flat is (K, M) -> contiguous slices;
             # "mc": x flat is (M, K) -> strided slices
@@ -1271,38 +1324,56 @@ _SCATTER_MIN = 2 ** int(os.environ.get("CTG_SCATTER_DOT_MIN_LOG2", "20"))
 _SCATTER_MIN_TRAIL = int(os.environ.get("CTG_SCATTER_MIN_TRAIL", "16"))
 
 
-def _scattered_pair_dims(p):
-    """K-dim positions of the stored x view for a no-realign pair dot.
+# rank guard for the un-realigned view (rank explosion stalls the TPU
+# memory planner; see module docstring and CLAUDE.md)
+_SCATTER_MAX_RANK = int(os.environ.get("CTG_SCATTER_MAX_RANK", "11"))
 
-    The x realign plan partitions the stored dims into two stable
-    blocks (K-dims first for ``x_layout == 'cm'``, M-dims first for
-    ``'rm'``). Returns ``(block_dims, kpos)`` - with both blocks in
-    increasing stored order, so the direct dot's output dim order
-    matches what the realigned 2-D form would have produced - or None
-    when the plan doesn't split that way.
+
+def _scatter_layout(x_order, c_set, sizes):
+    """Stored-view layout for a no-realign scattered pair dot.
+
+    Merges adjacent same-class (contracted K vs free M) runs of the
+    stored x order into view dims and returns ``(block_dims, kpos,
+    m_stored, c_stored)``: the merged view dims, the positions of the
+    K-class dims, and the free/contracted legs in stored order. The
+    direct ``dot_general`` then contracts the scattered K positions of
+    the un-realigned view; its output carries the M legs in STORED
+    order (``m_stored``), which the planner records as the produced
+    tensor's storage order - downstream steps adapt, so no output
+    reorder is ever needed.
+
+    Returns None when the view would be padding- or rank-hazardous:
+    trailing stored dim or trailing M-class dim below
+    ``_SCATTER_MIN_TRAIL`` (chip-measured: trailing >=64 folds into the
+    MXU load with ZERO temp; 16 materializes an 8x-padded copy, still
+    cheaper than the realign; <=4 pads 32-64x or OOMs the compiler), or
+    view rank above ``_SCATTER_MAX_RANK``.
     """
-    if p.x_plan is None or p.B != 1:
+    dims, isk, runs = [], [], []
+    for ix in x_order:
+        k = ix in c_set
+        if isk and isk[-1] == k:
+            dims[-1] *= sizes[ix]
+            runs[-1].append(ix)
+        else:
+            dims.append(sizes[ix])
+            isk.append(k)
+            runs.append([ix])
+    if len(dims) < 2 or len(dims) > _SCATTER_MAX_RANK:
         return None
-    block_dims, perm = p.x_plan
-    lead = p.K if p.x_layout == "cm" else p.M
-    acc, nlead = 1, 0
-    for q in perm:
-        if acc == lead:
-            break
-        acc *= block_dims[q]
-        nlead += 1
-    if acc != lead:
+    if not any(isk) or all(isk):
         return None
-    kpos = perm[:nlead] if p.x_layout == "cm" else perm[nlead:]
-    mpos = perm[nlead:] if p.x_layout == "cm" else perm[:nlead]
-    if list(mpos) != sorted(mpos) or list(kpos) != sorted(kpos):
+    mdims = [d for d, k in zip(dims, isk) if not k]
+    if dims[-1] < _SCATTER_MIN_TRAIL or mdims[-1] < _SCATTER_MIN_TRAIL:
         return None
-    if block_dims[-1] < _SCATTER_MIN_TRAIL:
-        # XLA would materialize the un-realigned view with a padded
-        # minor dim (up to 64x, or a compile failure) - see
-        # _SCATTER_MIN_TRAIL above; the realign path is safe
-        return None
-    return tuple(block_dims), tuple(kpos)
+    kpos = tuple(i for i, k in enumerate(isk) if k)
+    m_stored = tuple(
+        ix for run, k in zip(runs, isk) if not k for ix in run
+    )
+    c_stored = tuple(
+        ix for run, k in zip(runs, isk) if k for ix in run
+    )
+    return tuple(dims), kpos, m_stored, c_stored
 
 
 def _split_pair_scattered(
@@ -1582,22 +1653,16 @@ def _exec_steps_split(
 
         p = info
         B, M, K, N = p.B, p.M, p.K, p.N
-        if (
-            _SCATTER_DOT
-            and p.mode != "bmm"
-            and 2 * K * M >= _SCATTER_MIN
-        ):
-            scat = _scattered_pair_dims(p)
-            if scat is not None:
-                yf = _apply_block_plan_split(temps[p.y_id], p.y_plan)
-                out = _split_pair_scattered(
-                    temps[p.x_id], yf, p, scat[0], scat[1],
-                    precision, pet,
-                )
-                if strip_exponent:
-                    out = strip(out)
-                store(p.out_id, out, (B, N, M), si, (p.x_id, p.y_id))
-                continue
+        if p.scatter is not None:
+            yf = _apply_block_plan_split(temps[p.y_id], p.y_plan)
+            out = _split_pair_scattered(
+                temps[p.x_id], yf, p, p.scatter[0], p.scatter[1],
+                precision, pet,
+            )
+            if strip_exponent:
+                out = strip(out)
+            store(p.out_id, out, (B, N, M), si, (p.x_id, p.y_id))
+            continue
         xf = _apply_block_plan_split(temps[p.x_id], p.x_plan)
         yf = _apply_block_plan_split(temps[p.y_id], p.y_plan)
 

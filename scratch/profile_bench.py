@@ -39,8 +39,14 @@ def build_tree(m, target_size, seed=42):
     tree = None
     from cotengra_tpu.utils.io import load_tree
 
-    for t in [tgt_log] + list(range(tgt_log + 1, 33)):
-        pf = os.path.join(plan_dir, f"sycamore53_m{m}_t{t}.json")
+    if os.environ.get("BENCH_PLAN"):
+        candidates = [os.environ["BENCH_PLAN"]]
+    else:
+        candidates = [
+            os.path.join(plan_dir, f"sycamore53_m{m}_t{t}.json")
+            for t in [tgt_log] + list(range(tgt_log + 1, 33))
+        ]
+    for pf in candidates:
         if os.path.exists(pf):
             try:
                 tree = load_tree(pf, inputs, output, size_dict)
@@ -204,6 +210,12 @@ def main():
         plane_dtype=jnp.dtype(pdt) if pdt else None,
         slice_batch=sb if nsl > 1 else None,
         slice_batch_mode=os.environ.get("BENCH_SLICE_MODE", "auto"),
+        precision=(
+            None
+            if os.environ.get("BENCH_MATMUL_PRECISION", "highest")
+            in ("", "default")
+            else os.environ.get("BENCH_MATMUL_PRECISION", "highest")
+        ),
     )
     planes = [jnp.asarray(to_plane_array(a)) for a in arrays]
     ids = jnp.arange(0, sb, dtype=jnp.int32)

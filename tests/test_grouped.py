@@ -327,39 +327,40 @@ def test_scattered_pair_dot_exact(monkeypatch):
     )
 
 
-def test_scattered_pair_dims_partition():
-    """_scattered_pair_dims recovers the K positions of a stable
-    two-block realign plan and rejects interleaved M blocks."""
-    from cotengra_tpu.ops.grouped import _scattered_pair_dims
+def test_scatter_layout():
+    """_scatter_layout merges adjacent same-class runs of the stored
+    order, returns K positions + stored-order leg lists, and rejects
+    padding-hazardous trailing dims."""
+    from cotengra_tpu.ops.grouped import _scatter_layout
 
-    class P:
-        B = 1
-        K = 8
-        M = 512
-        x_layout = "cm"
-        x_plan = ((4, 2, 2, 4, 2, 16), (1, 3, 0, 2, 4, 5))
-
-    dims_kpos = _scattered_pair_dims(P())
-    assert dims_kpos is not None
-    dims, kpos = dims_kpos
+    sizes = {"a": 4, "b": 2, "c": 8, "d": 64, "e": 32}
+    # stored (a b c d e), contract {b, d}: runs a |b| c |d| e
+    out = _scatter_layout(("a", "b", "c", "d", "e"), {"b", "d"}, sizes)
+    assert out is not None
+    dims, kpos, m_stored, c_stored = out
+    assert dims == (4, 2, 8, 64, 32)
     assert kpos == (1, 3)
-    assert int(np.prod([dims[q] for q in kpos])) == P.K
+    assert m_stored == ("a", "c", "e")
+    assert c_stored == ("b", "d")
 
-    class P2(P):
-        # M block not in increasing stored order -> ineligible
-        x_plan = ((4, 2, 2, 4, 2, 16), (1, 3, 2, 0, 4, 5))
+    # adjacent same-class runs merge
+    out = _scatter_layout(("a", "b", "d", "c", "e"), {"b", "d"}, sizes)
+    dims, kpos, m_stored, c_stored = out
+    assert dims == (4, 2 * 64, 8 * 32)
+    assert kpos == (1,)
+    assert c_stored == ("b", "d")
 
-    assert _scattered_pair_dims(P2()) is None
-
-    class P2b(P):
-        # tiny trailing stored dim -> XLA would materialize the view
-        # at up to 64x padding (chip-measured); ineligible
-        M = 64
-        x_plan = ((4, 2, 2, 4, 2, 2), (1, 3, 0, 2, 4, 5))
-
-    assert _scattered_pair_dims(P2b()) is None
-
-    class P3(P):
-        x_plan = None
-
-    assert _scattered_pair_dims(P3()) is None
+    # tiny trailing stored dim -> ineligible (chip-measured padding)
+    sizes2 = dict(sizes, e=2)
+    assert (
+        _scatter_layout(("a", "b", "c", "d", "e"), {"b", "d"}, sizes2)
+        is None
+    )
+    # tiny trailing M-class dim (padded dot OUTPUT) -> ineligible even
+    # though the trailing STORED dim is a big K block
+    assert (
+        _scatter_layout(("b", "a", "d"), {"b", "d"}, sizes) is None
+    )
+    # all-K or all-M -> ineligible
+    assert _scatter_layout(("b", "d"), {"b", "d"}, sizes) is None
+    assert _scatter_layout(("a", "c"), set(), sizes) is None
