@@ -134,7 +134,7 @@ class CompressedExhaustive:
 
                 def local_score(step, tracker):
                     # depth-first, preferring merges that free memory
-                    return -step, tracker.size_change
+                    return -step, tracker.last.live_delta
 
             else:
 

@@ -15,6 +15,7 @@ String specs parse like ``"flops"``, ``"size"``, ``"write"``,
 accepted, as in reference ``scoring.py:797-877``).
 """
 
+import collections
 import functools
 import math
 import re
@@ -251,27 +252,91 @@ class LimitObjective(ExactObjective):
 # -- compressed contraction scoring ------------------------------------------
 #
 # A compressed (chi-capped, approximate) contraction's costs depend on the
-# full history of bond truncations - they are computed by *replaying* the
-# contraction on a HyperGraph with compress() steps, accumulating stats in
-# a tracker (reference behavior: ``scoring.py:339-794``).
+# full history of bond truncations, so they are obtained by *replaying* the
+# contraction on a HyperGraph interleaved with compress() calls (reference
+# behavior spec: ``cotengra/scoring.py:339-794``). The design here splits
+# that replay into two pieces:
+#
+# 1. :func:`replay_compressed_step` - a measurement function that performs
+#    one [compress]/contract/[compress] step on the hypergraph and returns
+#    an immutable :class:`CompressedStep` record of what it cost;
+# 2. :class:`CompressedStatsTracker` - a pure aggregate that ``absorb``s
+#    step records into running totals (and can be re-based onto a different
+#    history prefix, which windowed refinement needs).
+#
+# Keeping the per-step measurement out of the tracker means branch-and-bound
+# searches can copy just the cheap aggregate state, and rebasing a suffix
+# after a window rewrite is a one-record replay rather than a hook dance.
+
+CompressedStep = collections.namedtuple(
+    "CompressedStep",
+    (
+        "flops",  # operations spent this step (compressions + the pair dot)
+        "out_size",  # size of the tensor the step produced
+        "live_delta",  # net change of the total live footprint
+        "high_water",  # max in-step footprint, relative to the pre-step total
+    ),
+)
+
+_NULL_STEP = CompressedStep(0.0, 0.0, 0.0, 0.0)
+
+
+def replay_compressed_step(hg, i, j, chi, compress_late, node=None):
+    """Perform one compressed-contraction step on ``hg`` *in place* and
+    measure it.
+
+    The step order is the protocol every cost consumer in this package
+    agrees on: if ``compress_late``, first chi-compress the bonds incident
+    to ``i`` and ``j``; contract the pair; otherwise chi-compress the bonds
+    of the new node afterwards. Compression changes neighbor tensors too,
+    so footprint deltas are measured over whole neighborhoods.
+
+    Returns ``(ij, step)`` - the new node id and a :class:`CompressedStep`.
+    """
+    flops = 0.0
+    delta = 0.0
+
+    if compress_late:
+        pair = (i, j)
+        flops += hg.neighborhood_compress_cost(chi, pair)
+        delta -= hg.neighborhood_size(pair)
+        hg.compress(chi=chi, edges=hg.get_node(i))
+        hg.compress(chi=chi, edges=hg.get_node(j))
+        delta += hg.neighborhood_size(pair)
+
+    flops += hg.contract_pair_cost(i, j)
+    delta -= hg.node_size(i) + hg.node_size(j)
+    ij = hg.contract(i, j) if node is None else hg.contract(i, j, node=node)
+    out_size = hg.node_size(ij)
+    delta += out_size
+    # all step inputs plus the fresh output coexist here, before any
+    # early compression shrinks them: the footprint high-water mark
+    high_water = delta
+
+    if not compress_late:
+        region = (ij,)
+        flops += hg.neighborhood_compress_cost(chi, region)
+        delta -= hg.neighborhood_size(region)
+        hg.compress(chi=chi, edges=hg.get_node(ij))
+        delta += hg.neighborhood_size(region)
+
+    return ij, CompressedStep(flops, out_size, delta, high_water)
 
 
 class CompressedStatsTracker:
-    """Accumulates flops/max-size/peak-size/write over a replayed
-    compressed contraction.
+    """Running totals (flops / write / max-size / peak-footprint) over a
+    sequence of absorbed :class:`CompressedStep` records, seeded with the
+    input tensors of ``hg``.
     """
 
     __slots__ = (
         "chi",
         "flops",
+        "write",
         "max_size",
         "peak_size",
-        "write",
         "total_size",
-        "total_size_post_contract",
-        "contracted_size",
-        "size_change",
-        "flops_change",
+        "last",
         "secondary_weight",
         "factor",
     )
@@ -283,18 +348,14 @@ class CompressedStatsTracker:
         self.secondary_weight = secondary_weight
         self.factor = factor
 
-        self.total_size = 0
-        self.total_size_post_contract = 0
-        self.contracted_size = 0
-        self.size_change = 0
-        self.flops_change = 0
+        sizes = [hg.node_size(i) for i in hg.nodes]
+        self.total_size = sum(sizes)
+        self.max_size = max(sizes, default=0)
         self.flops = 0
-        self.max_size = 0
-        for i in hg.nodes:
-            sz = hg.node_size(i)
-            self.max_size = max(self.max_size, sz)
-            self.total_size += sz
+        # the inputs count as already-written memory and as the
+        # starting peak footprint
         self.write = self.peak_size = self.total_size
+        self.last = _NULL_STEP
 
     def copy(self):
         new = object.__new__(self.__class__)
@@ -305,41 +366,41 @@ class CompressedStatsTracker:
                 setattr(new, attr, getattr(self, attr))
         return new
 
-    def update_pre_step(self):
-        self.size_change = 0
-        self.flops_change = 0
-
-    def update_pre_compress(self, hg, *nodes):
-        self.size_change -= hg.neighborhood_size(nodes)
-        self.flops_change += hg.neighborhood_compress_cost(self.chi, nodes)
-
-    def update_post_compress(self, hg, *nodes):
-        self.size_change += hg.neighborhood_size(nodes)
-
-    def update_pre_contract(self, hg, i, j):
-        self.size_change -= hg.node_size(i) + hg.node_size(j)
-        self.flops_change += hg.contract_pair_cost(i, j)
-
-    def update_post_contract(self, hg, ij):
-        self.contracted_size = hg.node_size(ij)
-        self.size_change += self.contracted_size
-        self.total_size_post_contract = self.total_size + self.size_change
-
-    def update_post_step(self):
-        self.max_size = max(self.max_size, self.contracted_size)
-        self.peak_size = max(self.peak_size, self.total_size_post_contract)
-        self.total_size += self.size_change
-        self.flops += self.flops_change
-        self.write += self.contracted_size
-
-    def update_score(self, other):
-        """Combine with a previous tracker state (windowed refinement)."""
-        self.flops = other.flops + self.flops_change
-        self.write = other.write + self.contracted_size
-        self.max_size = max(other.max_size, self.contracted_size)
+    def absorb(self, step):
+        """Fold one :class:`CompressedStep` into the running totals."""
+        self.flops += step.flops
+        self.write += step.out_size
+        self.max_size = max(self.max_size, step.out_size)
         self.peak_size = max(
-            other.peak_size, self.total_size_post_contract
+            self.peak_size, self.total_size + step.high_water
         )
+        self.total_size += step.live_delta
+        self.last = step
+
+    def rebase(self, prev):
+        """Recompute this state's totals as if its :attr:`last` step had
+        been taken from ``prev`` instead of its original predecessor.
+
+        Used after a window rewrite changes the cost of a chain prefix:
+        the suffix hypergraph states are unchanged (so ``total_size`` and
+        ``last`` stay valid) but the accumulated totals must be re-derived
+        link by link from the new prefix.
+        """
+        step = self.last
+        self.flops = prev.flops + step.flops
+        self.write = prev.write + step.out_size
+        self.max_size = max(prev.max_size, step.out_size)
+        pre_step_total = self.total_size - step.live_delta
+        self.peak_size = max(
+            prev.peak_size, pre_step_total + step.high_water
+        )
+
+    # windowed refinement's historical name for suffix re-accumulation
+    update_score = rebase
+
+    # which running total leads the .score, set by subclasses:
+    # "max_size" / "peak_size" / "write" / "flops" / "combo"
+    leading = None
 
     @property
     def combo_score(self):
@@ -349,21 +410,33 @@ class CompressedStatsTracker:
 
     @property
     def score(self):
-        raise NotImplementedError
+        lead = self.leading
+        if lead is None:
+            raise NotImplementedError
+        if lead == "combo":
+            f = self.factor or DEFAULT_COMBO_FACTOR
+            return math.log2(self.flops + f * self.write + 1)
+        if lead == "flops":
+            # flops-led scores tiebreak on peak footprint, log10 scale
+            return math.log10(self.flops + 1) + (
+                self.secondary_weight
+                * math.log10(max(self.peak_size, 1))
+            )
+        return math.log2(max(getattr(self, lead), 1)) + (
+            self.secondary_weight * math.log2(self.flops + 1)
+        )
 
     def describe(self, join=" "):
-        F = math.log10(max(1, self.flops))
-        C = math.log10(
-            max(
-                1,
-                self.flops
-                + (self.factor or DEFAULT_COMBO_FACTOR) * self.write,
-            )
+        quantities = (
+            ("F", math.log10, self.flops),
+            ("C", math.log10,
+             self.flops + (self.factor or DEFAULT_COMBO_FACTOR) * self.write),
+            ("S", math.log2, self.max_size),
+            ("P", math.log2, self.peak_size),
         )
-        S = math.log2(max(1, self.max_size))
-        P = math.log2(max(1, self.peak_size))
         return join.join(
-            (f"F={F:.2f}", f"C={C:.2f}", f"S={S:.2f}", f"P={P:.2f}")
+            f"{label}={log(max(1, value)):.2f}"
+            for label, log, value in quantities
         )
 
     def __repr__(self):
@@ -371,91 +444,53 @@ class CompressedStatsTracker:
 
 
 def tracked_contract_step(hg, tracker, i, j, chi, compress_late, node=None):
-    """Contract nodes ``i`` and ``j`` of ``hg`` *in place*, driving
-    ``tracker`` through the full compressed-step hook protocol that every
-    cost consumer in this package must agree on: pre-step,
-    [late-compress], contract, [early-compress], post-step.
-
-    Returns the new node's id (``node`` if given).
+    """Contract nodes ``i`` and ``j`` of ``hg`` *in place* (with the
+    chi-compressions dictated by ``compress_late``), absorbing the measured
+    step into ``tracker``. Returns the new node's id (``node`` if given).
     """
-    tracker.update_pre_step()
-    if compress_late:
-        tracker.update_pre_compress(hg, i, j)
-        hg.compress(chi=chi, edges=hg.get_node(i))
-        hg.compress(chi=chi, edges=hg.get_node(j))
-        tracker.update_post_compress(hg, i, j)
-    tracker.update_pre_contract(hg, i, j)
-    if node is None:
-        ij = hg.contract(i, j)
-    else:
-        ij = hg.contract(i, j, node=node)
-    tracker.update_post_contract(hg, ij)
-    if not compress_late:
-        tracker.update_pre_compress(hg, ij)
-        hg.compress(chi=chi, edges=hg.get_node(ij))
-        tracker.update_post_compress(hg, ij)
-    tracker.update_post_step()
+    ij, step = replay_compressed_step(hg, i, j, chi, compress_late, node)
+    tracker.absorb(step)
     return ij
 
 
 class CompressedStatsTrackerSize(CompressedStatsTracker):
     __slots__ = ()
-
-    @property
-    def score(self):
-        return (
-            math.log2(max(self.max_size, 1))
-            + math.log2(self.flops + 1) * self.secondary_weight
-        )
+    leading = "max_size"
 
 
 class CompressedStatsTrackerPeak(CompressedStatsTracker):
     __slots__ = ()
-
-    @property
-    def score(self):
-        return (
-            math.log2(max(self.peak_size, 1))
-            + math.log2(self.flops + 1) * self.secondary_weight
-        )
+    leading = "peak_size"
 
 
 class CompressedStatsTrackerWrite(CompressedStatsTracker):
     __slots__ = ()
-
-    @property
-    def score(self):
-        return (
-            math.log2(max(self.write, 1))
-            + math.log2(self.flops + 1) * self.secondary_weight
-        )
+    leading = "write"
 
 
 class CompressedStatsTrackerFlops(CompressedStatsTracker):
     __slots__ = ()
-
-    @property
-    def score(self):
-        return (
-            math.log10(self.flops + 1)
-            + math.log10(max(self.peak_size, 1)) * self.secondary_weight
-        )
+    leading = "flops"
 
 
 class CompressedStatsTrackerCombo(CompressedStatsTracker):
     __slots__ = ()
-
-    @property
-    def score(self):
-        f = self.factor or DEFAULT_COMBO_FACTOR
-        return math.log2(self.flops + f * self.write + 1)
+    leading = "combo"
 
 
 class CompressedObjective(Objective):
-    """Base for objectives scoring a chi-capped compressed contraction."""
+    """Base for objectives scoring a chi-capped compressed contraction.
+
+    Subclasses declare which tracker total leads the trial score
+    (``leading``), which get the small tiebreak weight (``tiebreak``),
+    and which reports as the trial's "size" (``size_attr``).
+    """
 
     __slots__ = ("chi", "compress_late", "secondary_weight")
     tracker_cls = None
+    leading = None
+    tiebreak = ()
+    size_attr = "max_size"
 
     def __init__(self, chi="auto", compress_late=False, secondary_weight=1e-3):
         self.chi = chi
@@ -473,73 +508,45 @@ class CompressedObjective(Objective):
             chi=self.chi, compress_late=self.compress_late
         )
 
+    def __call__(self, trial):
+        stats = self.compute_compressed_stats(trial)
+        trial["flops"] = stats.flops
+        trial["write"] = stats.write
+        trial["size"] = getattr(stats, self.size_attr)
+        return math.log2(max(getattr(stats, self.leading), 1)) + sum(
+            self.secondary_weight * math.log2(max(getattr(stats, a), 1))
+            for a in self.tiebreak
+        )
+
 
 class CompressedSizeObjective(CompressedObjective):
     __slots__ = ()
     tracker_cls = CompressedStatsTrackerSize
-
-    def __call__(self, trial):
-        stats = self.compute_compressed_stats(trial)
-        cr = (
-            math.log2(max(stats.max_size, 1))
-            + self.secondary_weight * math.log2(max(stats.flops, 1))
-            + self.secondary_weight * math.log2(max(stats.write, 1))
-        )
-        trial["size"] = stats.max_size
-        trial["flops"] = stats.flops
-        trial["write"] = stats.write
-        return cr
+    leading = "max_size"
+    tiebreak = ("flops", "write")
 
 
 class CompressedPeakObjective(CompressedObjective):
     __slots__ = ()
     tracker_cls = CompressedStatsTrackerPeak
-
-    def __call__(self, trial):
-        stats = self.compute_compressed_stats(trial)
-        cr = (
-            math.log2(max(stats.peak_size, 1))
-            + self.secondary_weight * math.log2(max(stats.flops, 1))
-            + self.secondary_weight * math.log2(max(stats.write, 1))
-        )
-        trial["size"] = stats.peak_size
-        trial["flops"] = stats.flops
-        trial["write"] = stats.write
-        return cr
+    leading = "peak_size"
+    tiebreak = ("flops", "write")
+    size_attr = "peak_size"
 
 
 class CompressedWriteObjective(CompressedObjective):
     __slots__ = ()
     tracker_cls = CompressedStatsTrackerWrite
-
-    def __call__(self, trial):
-        stats = self.compute_compressed_stats(trial)
-        cr = (
-            math.log2(max(stats.write, 1))
-            + self.secondary_weight * math.log2(max(stats.flops, 1))
-            + self.secondary_weight * math.log2(max(stats.peak_size, 1))
-        )
-        trial["size"] = stats.write
-        trial["flops"] = stats.flops
-        trial["write"] = stats.write
-        return cr
+    leading = "write"
+    tiebreak = ("flops", "peak_size")
+    size_attr = "write"
 
 
 class CompressedFlopsObjective(CompressedObjective):
     __slots__ = ()
     tracker_cls = CompressedStatsTrackerFlops
-
-    def __call__(self, trial):
-        stats = self.compute_compressed_stats(trial)
-        cr = (
-            math.log2(max(stats.flops, 1))
-            + self.secondary_weight * math.log2(max(stats.write, 1))
-            + self.secondary_weight * math.log2(max(stats.peak_size, 1))
-        )
-        trial["size"] = stats.max_size
-        trial["flops"] = stats.flops
-        trial["write"] = stats.write
-        return cr
+    leading = "flops"
+    tiebreak = ("write", "peak_size")
 
 
 class CompressedComboObjective(CompressedObjective):
@@ -557,11 +564,10 @@ class CompressedComboObjective(CompressedObjective):
 
     def __call__(self, trial):
         stats = self.compute_compressed_stats(trial)
-        cr = math.log2(max(stats.flops + self.factor * stats.write, 1))
-        trial["size"] = stats.max_size
         trial["flops"] = stats.flops
         trial["write"] = stats.write
-        return cr
+        trial["size"] = stats.max_size
+        return math.log2(max(stats.flops + self.factor * stats.write, 1))
 
 
 # -- string spec parsing -----------------------------------------------------

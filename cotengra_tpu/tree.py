@@ -1341,6 +1341,8 @@ class ContractionTree:
                         compress_late,
                     )
                 )
+                from .scoring import _NULL_STEP
+
                 tracker = tracker_cls.__new__(tracker_cls)
                 tracker.chi = chi
                 tracker.flops = flops
@@ -1348,10 +1350,7 @@ class ContractionTree:
                 tracker.max_size = max_size
                 tracker.peak_size = peak_size
                 tracker.total_size = 0
-                tracker.total_size_post_contract = 0
-                tracker.contracted_size = 0
-                tracker.size_change = 0
-                tracker.flops_change = 0
+                tracker.last = _NULL_STEP
                 tracker.secondary_weight = 1e-3
                 tracker.factor = None
                 return tracker
