@@ -194,6 +194,18 @@ class ContractionTreeMulti(ContractionTree):
         bookkeeping here is a flat compute-event schedule + last-read
         index map rather than the reference's per-config three-pass
         deletion-flag dicts.
+
+        Intentional divergence for *duplicate* configs: the reference
+        decrements its running memory by the last-produced root size at
+        the end of **every** config block, including blocks left empty
+        because the identical config already ran
+        (``core_multi.py:245-246`` — the loop variable ``p`` persists
+        from the previous block, so the same root is subtracted twice
+        and later peaks are under-reported). Here a fully-cached config
+        frees nothing — it recomputed nothing — so stats are invariant
+        under repeating configs. See
+        ``tests/test_compressed.py::test_exact_multi_stats_vs_reference_semantics``
+        for the differential pin.
         """
         order = tuple(self.traverse())
 

@@ -181,6 +181,117 @@ def test_exact_multi_stats_memoization_invariants():
     assert stats3 == stats4
 
 
+def _reference_exact_multi_stats(mt, configs):
+    """Emulation of the reference's three-pass accounting
+    (``/root/reference/cotengra/core_multi.py:167-253``), including its
+    end-of-block behavior: ``mem_current -= get_size(p)`` runs for
+    *every* config block with whatever ``p`` the last executed
+    contraction left behind — so an empty (fully-cached duplicate)
+    block double-subtracts the previous root. Used only to pin down the
+    intentional divergence of ``exact_multi_stats``.
+    """
+    from cotengra_tpu.tree import ContractionTree
+
+    order = tuple(mt.traverse())
+
+    def vkey(node, config):
+        return node, tuple(
+            config[ix] for ix in mt.get_node_var_inds(node)
+        )
+
+    blocks = []
+    produced = set()
+    for config in configs:
+        block = []
+        for p, l, r in order:
+            pk = vkey(p, config)
+            if pk not in produced:
+                produced.add(pk)
+                block.append((p, vkey(l, config), vkey(r, config)))
+        blocks.append(block)
+
+    freed = set()
+    frees_here = {}
+    for bi in range(len(blocks) - 1, -1, -1):
+        for ei in range(len(blocks[bi]) - 1, -1, -1):
+            _, lk, rk = blocks[bi][ei]
+            here = []
+            for ck in (rk, lk):
+                if ck not in freed:
+                    freed.add(ck)
+                    if ck[0].bit_count() > 1:
+                        here.append(ck[0])
+            frees_here[(bi, ei)] = here
+
+    flops = live = peak = written = 0
+    p = None
+    for bi, block in enumerate(blocks):
+        for ei, (p, _, _) in enumerate(block):
+            flops += ContractionTree.get_flops(mt, p)
+            psize = mt.get_size(p)
+            live += psize
+            written += psize
+            peak = max(peak, live)
+            for node in frees_here[(bi, ei)]:
+                live -= mt.get_size(node)
+        # reference: runs even when block is empty (stale p)
+        if p is not None:
+            live -= mt.get_size(p)
+
+    return {
+        "flops": flops,
+        "write": written,
+        "size": mt.max_size(),
+        "peak": peak,
+    }
+
+
+def test_exact_multi_stats_vs_reference_semantics():
+    """Differential pin of exact_multi_stats against the reference's
+    accounting: identical on duplicate-free batches; on batches with
+    duplicate configs only the reference's stale-root double-decrement
+    differs (it can only lower subsequent memory readings, never the
+    flops/write/size totals)."""
+    import random
+
+    inputs, output, shapes, size_dict = ctg.rand_equation(10, 3, seed=3)
+    var_inds = sorted(size_dict)[:3]
+    ssa = ctg.optimize_greedy(inputs, output, size_dict, use_ssa=True)
+    mt = ContractionTreeMulti.from_path(
+        inputs, output, size_dict, ssa_path=ssa
+    )
+    mt.sliced_inds = {ix: None for ix in var_inds}
+    from cotengra_tpu.scoring import get_multi_objective
+
+    mt.set_default_objective(get_multi_objective("uniform", 64))
+
+    rng = random.Random(11)
+    configs = [
+        {ix: rng.randrange(size_dict[ix]) for ix in var_inds}
+        for _ in range(8)
+    ]
+    # make the projected sub-configs genuinely collide
+    assert len({tuple(sorted(c.items())) for c in configs}) > 1
+
+    # duplicate-free: full agreement
+    ours = mt.exact_multi_stats(configs)
+    ref = _reference_exact_multi_stats(mt, configs)
+    assert ours == ref
+
+    # with duplicate configs: totals agree; the reference's
+    # double-decrement can only make its peak <= ours, and ours is
+    # invariant under the duplication (nothing was recomputed)
+    dup = [configs[0], configs[0], configs[1], configs[1], configs[2]]
+    ours_dup = mt.exact_multi_stats(dup)
+    ref_dup = _reference_exact_multi_stats(mt, dup)
+    for k in ("flops", "write", "size"):
+        assert ours_dup[k] == ref_dup[k]
+    assert ref_dup["peak"] <= ours_dup["peak"]
+    assert ours_dup == mt.exact_multi_stats(
+        [configs[0], configs[1], configs[2]]
+    )
+
+
 def test_contract_compressed_exact_at_large_chi():
     import numpy as np
 
