@@ -333,6 +333,9 @@ def main():
         "value": round(tflops, 3),
         "unit": "TFLOP/s",
         "vs_baseline": round(tflops / target, 4),
+        # compile latency is a first-class metric: cold-cache budget
+        # <=20s for the official m=10 config (BASELINE.md round-5 row)
+        "compile_s": round(t_compile, 1),
     }
     print(
         f"# log10[FLOPs]={tree.total_flops(log=10):.2f} "

@@ -1289,8 +1289,10 @@ def _apply_block_plan_split(flat, plan):
     block_dims, perm = plan
     if flat.size <= 2 * SMALL_T_MATMUL_MAX:
         return _apply_plan_matmul(flat, plan, 2)
+    # per-plane bytes: flat holds both planes, the size gate is per
+    # logical operand so split and non-split engage at the same size
     passes = _multipass_plan(
-        flat.size * flat.dtype.itemsize, block_dims, perm
+        flat.size // 2 * flat.dtype.itemsize, block_dims, perm
     )
     if passes is not None:
         for dims_i, perm_i in passes:

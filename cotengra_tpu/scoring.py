@@ -249,6 +249,104 @@ class LimitObjective(ExactObjective):
         return math.log2(tree.combo_cost(factor=self.factor, combine=max))
 
 
+class TpuTimeObjective(ExactObjective):
+    """Score trees by the executor's own per-step time model.
+
+    Round-4 chip profiling (docs/DESIGN.md) showed the machine's cost and
+    the flops count diverge by >3x: on TPU each pair contraction runs at
+    ``max(MXU compute time, HBM traffic time)``, and big sliced
+    contractions are usually *bandwidth*-bound. This objective scores a
+    step as
+
+        max(flops, flops_per_elem * (|out| + |lhs| + |rhs|))
+
+    i.e. the roofline per step with the real executor's traffic (read
+    both operands, write the output), not just the output write that
+    ``combo``/``limit`` count. ``flops_per_elem`` is the number of scalar
+    ops the MXU retires in the time HBM moves one stored element:
+
+        flops_per_elem = bytes_per_elem * mxu_rate / hbm_bw
+
+    Defaults are the grouped executor's measured v5e operating point
+    (split-complex f32 planes = 8 B/element, ~50 TFLOP/s effective f32
+    MXU rate at HIGHEST precision, ~600 GB/s effective HBM), giving
+    ~667 flops/element. Constructor args re-calibrate for other chips.
+
+    Reference hook protocol: ``cotengra/scoring.py:50-75``.
+    """
+
+    __slots__ = ("mxu_tflops", "hbm_gbps", "bytes_per_elem",
+                 "flops_per_elem")
+
+    def __init__(self, mxu_tflops=50.0, hbm_gbps=600.0, bytes_per_elem=8,
+                 flops_per_elem=None):
+        self.mxu_tflops = mxu_tflops
+        self.hbm_gbps = hbm_gbps
+        self.bytes_per_elem = bytes_per_elem
+        if flops_per_elem is None:
+            flops_per_elem = (
+                bytes_per_elem * mxu_tflops * 1e12 / (hbm_gbps * 1e9)
+            )
+        self.flops_per_elem = flops_per_elem
+
+    def _node_time(self, tree, node):
+        traffic = tree.get_size(node)
+        lr = tree.children.get(node)
+        if lr is not None:
+            traffic += tree.get_size(lr[0]) + tree.get_size(lr[1])
+        return max(
+            tree.get_flops(node), self.flops_per_elem * traffic
+        )
+
+    def cost_local_tree_node(self, tree, node):
+        return self._node_time(tree, node)
+
+    def score_local(self, **kwargs):
+        # SA moves only report (flops, output size) per step; model the
+        # unavailable operand reads as ~2x the output write (the typical
+        # pair-contraction shape), i.e. traffic ~ 3*|out|
+        f = kwargs["flops"]
+        s = kwargs["size"]
+        try:
+            total = sum(
+                max(fi, 3 * self.flops_per_elem * si)
+                for fi, si in zip(f, s)
+            )
+        except TypeError:
+            total = max(f, 3 * self.flops_per_elem * s)
+        return math.log2(total)
+
+    def score_slice_index(self, costs, ix):
+        return math.log(
+            costs.flop_reductions[ix]
+            + costs.write_reductions[ix] * self.flops_per_elem
+            + 1
+        )
+
+    def get_dynamic_programming_minimize(self):
+        # nearest key the native bitmask DP understands: per-step
+        # max(flops, F*write)
+        return f"limit-{int(self.flops_per_elem)}"
+
+    def estimated_seconds(self, tree):
+        """Modelled wall-clock of contracting ``tree`` once (all slices),
+        in seconds, for direct comparison with measured chip times."""
+        per_slice = sum(
+            self._node_time(tree, n) for n in tree.children
+        )
+        return (
+            tree.multiplicity * per_slice / (self.mxu_tflops * 1e12)
+        )
+
+    def __call__(self, trial):
+        tree = trial["tree"]
+        ensure_basic_quantities(trial)
+        per_slice = sum(
+            self._node_time(tree, n) for n in tree.children
+        )
+        return math.log2(max(tree.multiplicity * per_slice, 1))
+
+
 # -- compressed contraction scoring ------------------------------------------
 #
 # A compressed (chi-capped, approximate) contraction's costs depend on the
@@ -574,7 +672,7 @@ class CompressedComboObjective(CompressedObjective):
 
 _OBJECTIVE_RE = re.compile(
     r"^(?P<name>"
-    r"flops|write|size|combo|limit|"
+    r"flops|write|size|combo|limit|tpu|"
     r"flops-compressed|size-compressed|max-compressed|"
     r"peak-compressed|write-compressed|combo-compressed"
     r")"
@@ -619,6 +717,11 @@ def _parse_minimize_str(minimize):
         f = float(factor) if factor is not None else DEFAULT_COMBO_FACTOR
         f = int(f) if f == int(f) else f
         return LimitObjective(factor=f)
+    if name == "tpu":
+        # "tpu" / "tpu-F": F overrides flops_per_elem
+        if factor is not None:
+            return TpuTimeObjective(flops_per_elem=float(factor))
+        return TpuTimeObjective()
 
     # compressed objectives: the factor slot is the chi value
     chi = int(factor) if factor is not None else "auto"

@@ -327,6 +327,25 @@ def test_scattered_pair_dot_exact(monkeypatch):
     )
 
 
+def test_scattered_pair_dot_exact_complex(monkeypatch):
+    """The complex-dtype (split_complex=False) executor's scattered-dot
+    branch must also match the realigned path across a full circuit."""
+    from cotengra_tpu.ops import grouped
+
+    tree, arrays = _circuit_tree()
+    ref = tree.contract(arrays)
+
+    monkeypatch.setattr(grouped, "_SCATTER_DOT", True)
+    monkeypatch.setattr(grouped, "_SCATTER_MIN", 0)
+    fn = make_grouped_staged_contractor(
+        tree, stage_size=10, split_complex=False
+    )
+    got = fn(*arrays)
+    assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=5e-6, atol=1e-12
+    )
+
+
 def test_scatter_layout():
     """_scatter_layout merges adjacent same-class runs of the stored
     order, returns K positions + stored-order leg lists, and rejects

@@ -41,6 +41,63 @@ def test_parse_minimize_rejects_garbage():
         parse_minimize("not-a-real-objective")
 
 
+def test_tpu_time_objective():
+    from cotengra_tpu.scoring import TpuTimeObjective
+
+    obj = parse_minimize("tpu")
+    assert isinstance(obj, TpuTimeObjective)
+    # default operating point: 8 B/elem * 50e12 / 600e9 flops per element
+    assert obj.flops_per_elem == pytest.approx(8 * 50e12 / 600e9)
+    assert parse_minimize("tpu-1000").flops_per_elem == 1000.0
+
+    inputs, output, shapes, size_dict = ctg.rand_equation(10, 3, seed=0)
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    trial = {"tree": tree}
+    score = obj(trial)
+    assert math.isfinite(score)
+
+    # the model is a per-step roofline: never below the pure-MXU bound,
+    # never below the pure-traffic bound
+    fpe = obj.flops_per_elem
+    lo_flops = sum(tree.get_flops(n) for n in tree.children)
+    traffic = sum(
+        tree.get_size(n)
+        + tree.get_size(tree.children[n][0])
+        + tree.get_size(tree.children[n][1])
+        for n in tree.children
+    )
+    total = 2 ** score
+    assert total >= lo_flops - 1e-6
+    assert total >= fpe * traffic - 1e-6
+    assert total <= lo_flops + fpe * traffic + 1e-6
+
+    # modelled seconds scale with 1/rate
+    fast = TpuTimeObjective(mxu_tflops=100.0, hbm_gbps=1200.0)
+    assert fast.estimated_seconds(tree) == pytest.approx(
+        obj.estimated_seconds(tree) / 2
+    )
+
+    # hooks all function
+    node = next(iter(tree.children))
+    assert obj.cost_local_tree_node(tree, node) > 0
+    assert obj.get_dynamic_programming_minimize() == f"limit-{int(fpe)}"
+    assert math.isfinite(obj.score_local(flops=(8.0, 16.0), size=(4.0, 2.0)))
+
+    # a bandwidth-heavier tree (same flops, more write) scores worse:
+    # drive the full hook stack through reconfigure + SA + slicing
+    tree2 = tree.copy()
+    tree2.subtree_reconfigure_(subtree_size=6, maxiter=20, minimize="tpu")
+    assert obj({"tree": tree2}) <= score + 1e-9
+
+    from cotengra_tpu.slicing import SliceFinder as SF
+
+    sf = SF(tree, target_slices=4, minimize="tpu", max_repeats=4, seed=0)
+    costs, inds = sf.search()
+    assert len(inds) >= 1
+
+
 def test_objective_hooks_consistent():
     inputs, output, shapes, size_dict = ctg.rand_equation(10, 3, seed=0)
     tree = ctg.array_contract_tree(
