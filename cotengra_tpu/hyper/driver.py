@@ -288,10 +288,12 @@ class HyperOptimizer(PathOptimizer):
             score = float("inf")
         trial["score"] = score
         # compressed + smudged score reported to the sampler, to even out
-        # the landscape and avoid premature convergence
-        reported = score**self.score_compression + self.rng.gauss(
-            0, 1e-6
-        )
+        # the landscape and avoid premature convergence. Sign-preserving
+        # power: log-seconds objectives (minimize="tpu") are legitimately
+        # negative, and a bare x**0.75 would go complex there
+        reported = math.copysign(
+            abs(score) ** self.score_compression, score
+        ) + self.rng.gauss(0, 1e-6)
         return reported
 
     def _handle_trial_error(self, exc):

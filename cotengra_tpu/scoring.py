@@ -276,10 +276,10 @@ class TpuTimeObjective(ExactObjective):
     """
 
     __slots__ = ("mxu_tflops", "hbm_gbps", "bytes_per_elem",
-                 "flops_per_elem")
+                 "flops_per_elem", "sim_constants")
 
     def __init__(self, mxu_tflops=50.0, hbm_gbps=600.0, bytes_per_elem=8,
-                 flops_per_elem=None):
+                 flops_per_elem=None, sim_constants=None):
         self.mxu_tflops = mxu_tflops
         self.hbm_gbps = hbm_gbps
         self.bytes_per_elem = bytes_per_elem
@@ -288,6 +288,10 @@ class TpuTimeObjective(ExactObjective):
                 bytes_per_elem * mxu_tflops * 1e12 / (hbm_gbps * 1e9)
             )
         self.flops_per_elem = flops_per_elem
+        # overrides for the lowering simulator's chip operating points
+        # (ops/simulate.V5E_CONSTANTS); the roofline constants above
+        # only drive the cheap per-move hooks and the fallback
+        self.sim_constants = sim_constants
 
     def _node_time(self, tree, node):
         traffic = tree.get_size(node)
@@ -329,22 +333,33 @@ class TpuTimeObjective(ExactObjective):
         return f"limit-{int(self.flops_per_elem)}"
 
     def estimated_seconds(self, tree):
-        """Modelled wall-clock of contracting ``tree`` once (all slices),
-        in seconds, for direct comparison with measured chip times."""
-        per_slice = sum(
-            self._node_time(tree, n) for n in tree.children
-        )
-        return (
-            tree.multiplicity * per_slice / (self.mxu_tflops * 1e12)
-        )
+        """Modelled wall-clock of contracting ``tree`` once (all
+        slices), in seconds, for direct comparison with measured chip
+        times.
+
+        Delegates to :func:`~cotengra_tpu.ops.simulate.simulate_grouped`
+        - the roofline simulator over the REAL grouped lowering, chip-
+        calibrated to <10% on three structurally different m=10 plans
+        (round 5) - and falls back to the cheap per-node roofline when
+        the tree can't be lowered (e.g. mid-search fragments)."""
+        try:
+            from .ops.simulate import simulate_grouped
+
+            return simulate_grouped(tree, constants=self.sim_constants)
+        except Exception:
+            per_slice = sum(
+                self._node_time(tree, n) for n in tree.children
+            )
+            return (
+                tree.multiplicity
+                * per_slice
+                / (self.mxu_tflops * 1e12)
+            )
 
     def __call__(self, trial):
         tree = trial["tree"]
         ensure_basic_quantities(trial)
-        per_slice = sum(
-            self._node_time(tree, n) for n in tree.children
-        )
-        return math.log2(max(tree.multiplicity * per_slice, 1))
+        return math.log2(max(self.estimated_seconds(tree), 1e-30))
 
 
 # -- compressed contraction scoring ------------------------------------------

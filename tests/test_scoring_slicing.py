@@ -58,26 +58,28 @@ def test_tpu_time_objective():
     score = obj(trial)
     assert math.isfinite(score)
 
-    # the model is a per-step roofline: never below the pure-MXU bound,
-    # never below the pure-traffic bound
+    # the trial score IS the log2 of the modelled executor seconds
+    # (round 5: estimated_seconds delegates to the chip-calibrated
+    # lowering simulator)
     fpe = obj.flops_per_elem
-    lo_flops = sum(tree.get_flops(n) for n in tree.children)
-    traffic = sum(
-        tree.get_size(n)
-        + tree.get_size(tree.children[n][0])
-        + tree.get_size(tree.children[n][1])
-        for n in tree.children
-    )
-    total = 2 ** score
-    assert total >= lo_flops - 1e-6
-    assert total >= fpe * traffic - 1e-6
-    assert total <= lo_flops + fpe * traffic + 1e-6
+    sec = obj.estimated_seconds(tree)
+    assert sec > 0
+    assert 2 ** score == pytest.approx(sec)
+    from cotengra_tpu.ops.simulate import simulate_grouped
 
-    # modelled seconds scale with 1/rate
-    fast = TpuTimeObjective(mxu_tflops=100.0, hbm_gbps=1200.0)
-    assert fast.estimated_seconds(tree) == pytest.approx(
-        obj.estimated_seconds(tree) / 2
+    assert sec == pytest.approx(simulate_grouped(tree))
+
+    # sim_constants recalibrate the simulator's operating points: a
+    # chip with double the copy/chain/dot bandwidth and MXU rate (and
+    # no fixed overheads) is strictly faster
+    fast = TpuTimeObjective(
+        sim_constants={
+            "chain_gbps": 254.0, "copy_gbps": 600.0,
+            "dot_gbps": 800.0, "mxu_tflops": 70.0,
+            "slice_overhead_s": 0.0, "dispatch_s": 0.0,
+        }
     )
+    assert fast.estimated_seconds(tree) < sec
 
     # hooks all function
     node = next(iter(tree.children))
