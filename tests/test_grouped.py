@@ -383,3 +383,29 @@ def test_scatter_layout():
     # all-K or all-M -> ineligible
     assert _scatter_layout(("b", "d"), {"b", "d"}, sizes) is None
     assert _scatter_layout(("a", "c"), set(), sizes) is None
+
+
+def test_layout_lookahead_exact(monkeypatch):
+    """CTG_LAYOUT_LOOKAHEAD reclusters produced free-leg orders by
+    consumer role; results must be exactly the same contraction. The
+    chip-calibrated simulator (round 5) models ~2x less realign
+    traffic with it on - this pins its correctness on CPU."""
+    import cotengra_tpu.ops.grouped as G
+
+    tree, arrays = _circuit_tree(n_qubits=20, depth=10, seed=5)
+    ref = tree.contract(arrays)
+    monkeypatch.setattr(G, "_LAYOUT_LOOKAHEAD", True)
+    got = tree.contract(arrays)
+    assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+    # split-complex staged path (the bench configuration)
+    from cotengra_tpu.ops.grouped import make_grouped_staged_contractor
+
+    fn = make_grouped_staged_contractor(
+        tree, stage_size=8, split_complex=True
+    )
+    got2 = fn(*arrays)
+    assert_allclose(
+        np.asarray(got2).reshape(np.asarray(ref).shape),
+        np.asarray(ref),
+        rtol=1e-5,
+    )
