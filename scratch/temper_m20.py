@@ -77,7 +77,7 @@ def main():
             best = f
             best_tree = cand
             save_tree(
-                cand, plan_file, log10_flops=best, target_log2=tgt_log
+                plan_file, cand, log10_flops=best, target_log2=tgt_log
             )
             print(f"# SAVED improved plan: {best:.4f}", flush=True)
     print(f"# done: best log10F={best:.4f}", flush=True)
