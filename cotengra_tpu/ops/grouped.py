@@ -1350,6 +1350,14 @@ def _scatter_layout(x_order, c_set, sizes):
     MXU load with ZERO temp; 16 materializes an 8x-padded copy, still
     cheaper than the realign; <=4 pads 32-64x or OOMs the compiler), or
     view rank above ``_SCATTER_MAX_RANK``.
+
+    Only lane (trailing) dims are guarded: the dot output (N, *m-dims)
+    may still carry a small second-minor dim (m-dims[-2], or N down to
+    2 in matvec mode), sublane-padding the output temp up to 4x. That
+    is accepted by design - sublane padding is bounded (8 rows) and the
+    output temp is transient; guarding it too would reject most
+    profitable scatters (the realign alternative copies the full
+    operand twice).
     """
     dims, isk, runs = [], [], []
     for ix in x_order:

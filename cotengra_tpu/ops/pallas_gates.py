@@ -68,7 +68,11 @@ FIELD_CHAIN_BUDGET = (
 )
 # grid dimension semantics for the chain kernels ("arbitrary" or
 # "parallel"); every grid cell writes a disjoint output block, so
-# "parallel" is valid - kept selectable for on-chip A/B timing
+# "parallel" is valid. Chip-measured (scratch/micro_dma2.py, round 5):
+# both semantics run at the same ~160 GB/s copy ceiling across
+# 512KB-4MB blocks, so the conservative "arbitrary" stays the default;
+# the knob remains for future Mosaic versions where "parallel" may
+# unlock cross-step DMA overlap.
 _GRID_SEM = os.environ.get("CTG_GRID_SEMANTICS", "arbitrary")
 
 
