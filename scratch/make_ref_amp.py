@@ -52,7 +52,13 @@ def main():
     arrays64 = [np.asarray(a, dtype=np.complex128) for a in arrays]
     # the n values bench.py can pick: nbench = min(nsl, max(sb, 16))
     # rounded down to a slice-batch multiple
-    ns = sorted({n for n in (4, 8, 16, 32) if n <= min(nsl, 64)} | {min(nsl, 64)})
+    # REF_MAX_N caps the slice count (deep plans with big slices: 16
+    # covers every nbench bench.py picks at slice_batch <= 16)
+    cap = int(os.environ.get("REF_MAX_N", "64"))
+    ns = sorted(
+        {n for n in (4, 8, 16, 32) if n <= min(nsl, cap)}
+        | {min(nsl, cap)}
+    )
     amps = {}
     acc = 0.0 + 0.0j
     done = 0
