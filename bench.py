@@ -278,6 +278,25 @@ def main():
             precision=prec,
         )
         planes = [jnp.asarray(to_plane_array(a)) for a in arrays]
+        # parallel AOT stage compile: each stage .compile() releases the
+        # GIL during the (server-side) XLA compile, so a thread per
+        # stage overlaps the per-program compile floor. Populates the
+        # jit + persistent caches; the warmup pass below then hits them.
+        pc = int(os.environ.get("BENCH_PRECOMPILE", "0"))
+        if pc and hasattr(core, "precompile"):
+            t_p0 = time.time()
+            if nsl > 1:
+                njobs = core.precompile(
+                    planes,
+                    np.arange(min(sb, nsl), dtype=np.int64),
+                )
+            else:
+                njobs = core.precompile(*planes)
+            print(
+                f"# precompiled {njobs} stage programs in "
+                f"{time.time() - t_p0:.1f}s",
+                file=sys.stderr,
+            )
         if nsl > 1:
             id_batches = [
                 jnp.arange(k * sb, (k + 1) * sb, dtype=jnp.int32)

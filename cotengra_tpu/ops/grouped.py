@@ -2534,6 +2534,56 @@ def make_grouped_staged_contractor(
             return _planes_to_complex(flat, out_shape)
         return _apply_block_plan(flat, out_plan).reshape(out_shape)
 
+    def _precompile_stages(carry, digits_aval):
+        """AOT-compile every stage program CONCURRENTLY.
+
+        The stage programs are independent XLA computations, but the
+        normal lazy-jit path compiles them serially — stage k+1's
+        compile waits for stage k's compile *and* execution. Each
+        ``.compile()`` releases the GIL during the XLA compile, so a
+        thread per stage overlaps the per-program compile floor (on
+        the remote-tunnel backend the compile runs server-side).
+        Abstract shapes are propagated host-side with ``eval_shape``
+        (no device work), then all stages lower+compile in a thread
+        pool. This populates jax's in-process/persistent compilation
+        caches; the subsequent normal call hits them.
+
+        Returns the number of programs compiled, or None when the
+        executor is un-jitted or carries a hoisted-operator build
+        (window mode — its op_build is not abstractly traceable).
+        """
+        if not autojit or op_build_j is not None:
+            return None
+        import concurrent.futures as cf
+
+        jobs = []
+        exponent = None
+        for k, (sf, _carry_out) in enumerate(stages):
+            if k == 0:
+                args = (carry, digits_aval) if digits_aval is not None \
+                    else (carry,)
+            elif strip_exponent:
+                args = (carry, exponent)
+            else:
+                args = (carry,)
+            res = jax.eval_shape(sf, *args)
+            jobs.append((sf, args))
+            if strip_exponent:
+                carry, exponent = res
+            else:
+                carry = res
+        nw = min(len(jobs), int(
+            os.environ.get("CTG_PRECOMPILE_WORKERS", "16")
+        ))
+        with cf.ThreadPoolExecutor(max_workers=max(nw, 1)) as ex:
+            futs = [
+                ex.submit(lambda sf=sf, a=a: sf.lower(*a).compile())
+                for sf, a in jobs
+            ]
+            for f in futs:
+                f.result()
+        return len(jobs)
+
     if slice_batch:
 
         def fn(arrays, slice_ids):
@@ -2571,6 +2621,18 @@ def make_grouped_staged_contractor(
                 return result, exponent
             return result
 
+        def precompile(arrays, slice_ids):
+            digits = _ids_to_digits(np.asarray(slice_ids), meta)
+            carry = tuple(
+                jax.ShapeDtypeStruct(tuple(a.shape), a.dtype)
+                for a in arrays
+            )
+            dig_aval = jax.ShapeDtypeStruct(
+                tuple(digits.shape), digits.dtype
+            )
+            return _precompile_stages(carry, dig_aval)
+
+        fn.precompile = precompile
         return fn
 
     def fn(*arrays):
@@ -2593,4 +2655,12 @@ def make_grouped_staged_contractor(
             return result, exponent
         return result
 
+    def precompile(*arrays):
+        carry = tuple(
+            jax.ShapeDtypeStruct(tuple(a.shape), a.dtype)
+            for a in arrays
+        )
+        return _precompile_stages(carry, None)
+
+    fn.precompile = precompile
     return fn

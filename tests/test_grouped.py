@@ -409,3 +409,55 @@ def test_layout_lookahead_exact(monkeypatch):
         np.asarray(ref),
         rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize("strip", [False, True])
+def test_precompile_matches_lazy(strip):
+    """fn.precompile AOT-compiles every stage concurrently; results and
+    shapes must match the lazy-compile path exactly (it only warms the
+    jit/persistent caches)."""
+    import jax.numpy as jnp
+
+    tree, arrays = _circuit_tree()
+    ref = tree.contract(arrays)
+
+    # unsliced staged contractor
+    fn = make_grouped_staged_contractor(
+        tree, stage_size=7, strip_exponent=strip,
+        split_complex=True, plane_io=True,
+    )
+    from cotengra_tpu.ops.grouped import to_plane_array
+
+    planes = [jnp.asarray(to_plane_array(a)) for a in arrays]
+    njobs = fn.precompile(*planes)
+    assert njobs and njobs >= 1
+    res = fn(*planes)
+    if strip:
+        res, e = res
+        amp = complex(*np.asarray(res)) * 10.0 ** float(np.asarray(e))
+    else:
+        amp = complex(*np.asarray(res))
+    assert np.isclose(amp, complex(np.asarray(ref)), rtol=1e-4)
+
+    # slice-batched contractor
+    tree.slice_(target_slices=4)
+    nsl = tree.multiplicity
+    bcore = make_grouped_staged_contractor(
+        tree, stage_size=7, strip_exponent=strip,
+        split_complex=True, plane_io=True,
+        slice_batch=nsl,
+    )
+    ids = jnp.arange(nsl, dtype=jnp.int32)
+    njobs = bcore.precompile(planes, np.arange(nsl, dtype=np.int64))
+    assert njobs and njobs >= 1
+    res = bcore(planes, ids)
+    if strip:
+        res, exps = res
+        tot = sum(
+            complex(*np.asarray(res[i]))
+            * 10.0 ** float(np.asarray(exps[i]))
+            for i in range(nsl)
+        )
+    else:
+        tot = sum(complex(*np.asarray(res[i])) for i in range(nsl))
+    assert np.isclose(tot, complex(np.asarray(ref)), rtol=1e-4)
