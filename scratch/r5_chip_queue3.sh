@@ -1,8 +1,14 @@
 #!/bin/bash
 # r5_chip_queue3.sh — round-5 final-stretch chip queue.
-# 1. official m=10 bench (re-warm the fresh .jax_cache for the driver)
-# 2. BENCH_STAGE_SIZE=256 A/B on the official plan (compile-budget lever)
-# 3. m=20 re-measure with the 19.63 plan + regenerated refamp sidecar
+# 1. BENCH_PRECOMPILE=1 on a COLD cache — measures the parallel AOT
+#    stage-compile lever (historical cold baseline: ~90 s on the t29
+#    unsliced official plan).
+# 2. official default config — cache now warm; confirms the 0.474 s
+#    number and leaves .jax_cache warm for the driver.
+# 3. m=20 re-measure with the 19.63 plan (waits for the refamp
+#    sidecar regeneration to finish so relerr is honest).
+# 4. BENCH_STAGE_SIZE=32 + precompile — more, smaller programs = more
+#    compile parallelism; A/B compile_s and runtime.
 # Pauses CPU search jobs (/tmp/cpu_jobs.pids) during runs; retries on a
 # wedge (bench rc=3 = liveness watchdog abort). Logs land in /tmp.
 cd /root/repo
@@ -39,19 +45,22 @@ run_exp() {  # run_exp <log> <timeout> <env...> — retries twice on wedge
   return 3
 }
 
-# 1. official config — cold compile (fresh cache), then it is warm
+run_exp /tmp/r5q3_precompile.log 2400 BENCH_PRECOMPILE=1
+echo "=== precompile done rc=$? ===" >> /tmp/r5_queue3.log
+
 run_exp /tmp/r5q3_official.log 2400
 echo "=== official done rc=$? ===" >> /tmp/r5_queue3.log
 
-# 2. single-stage program A/B (runbook r4 step 5, never run): fewer,
-#    bigger stage programs compiled FASTER on combo-256 (40.5 vs 56.7 s)
-run_exp /tmp/r5q3_stage256.log 2400 BENCH_STAGE_SIZE=256
-echo "=== stage256 done rc=$? ===" >> /tmp/r5_queue3.log
-
-# 3. m=20 north star with the 19.63 plan (12.3x fewer total flops than
-#    the round-5-measured 20.72 plan) + fresh refamp
+# m=20: wait (up to 60 min) for the refamp regeneration to finish
+for i in $(seq 1 120); do
+  ps -p "$(cat /tmp/refamp.pid 2>/dev/null)" >/dev/null 2>&1 || break
+  sleep 30
+done
 run_exp /tmp/r5q3_m20.log 5400 BENCH_DEPTH=20 BENCH_TARGET_SIZE=27 BENCH_SLICE_BATCH=8
 echo "=== m20 done rc=$? ===" >> /tmp/r5_queue3.log
+
+run_exp /tmp/r5q3_stage32.log 2400 BENCH_STAGE_SIZE=32 BENCH_PRECOMPILE=1
+echo "=== stage32 done rc=$? ===" >> /tmp/r5_queue3.log
 
 resume_cpu
 echo "=== queue complete ===" >> /tmp/r5_queue3.log
