@@ -2142,7 +2142,18 @@ def make_grouped_staged_contractor(
     if gate_mode and not split_complex:
         raise ValueError("gate chains require split_complex=True")
 
-    ir = extract_contractions(tree)
+    # CTG_PEAK_ORDER=1 schedules steps in the tree's peak-minimizing
+    # depth-first order (exchange rule, tree.peak_optimized_order) -
+    # lower concurrent-live HBM for deep sliced plans, at the cost of
+    # possibly splitting gate chains the default extent order keeps
+    # adjacent. Opt-in: adjacency-sensitive fusion makes it a per-plan
+    # A/B, not a default.
+    order = (
+        tree.peak_optimized_order()
+        if os.environ.get("CTG_PEAK_ORDER", "0") == "1"
+        else None
+    )
+    ir = extract_contractions(tree, order=order)
     input_orders = [sliced_input_legs(tree, i) for i in range(tree.N)]
     plans, storage, out_plan, out_shape, last_use = plan_grouped(
         ir, tree.size_dict, input_orders, fuse_gates=fuse_gates,

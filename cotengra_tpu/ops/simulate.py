@@ -36,6 +36,7 @@ model - its contractor trusts FLOP counts, ``contract.py:718-837``).
 """
 
 import math
+import os
 
 from ..utils.misc import prod
 from .lowering import SingleStep, extract_contractions, sliced_input_legs
@@ -124,7 +125,14 @@ def simulate_grouped(
     mxu = c["mxu_tflops"] * 1e12
     vpu = c["chain_vpu_gmacs"] * 1e9
 
-    ir = extract_contractions(tree)
+    # mirror the executor's CTG_PEAK_ORDER scheduling knob so the model
+    # prices the same step order the chip would run
+    order = (
+        tree.peak_optimized_order()
+        if os.environ.get("CTG_PEAK_ORDER", "0") == "1"
+        else None
+    )
+    ir = extract_contractions(tree, order=order)
     input_orders = [sliced_input_legs(tree, i) for i in range(tree.N)]
     plans, storage, out_plan, out_shape, _ = plan_grouped(
         ir, tree.size_dict, input_orders, gate_mode=gate_mode

@@ -658,6 +658,54 @@ class ContractionTree:
             peak = math.log(max(peak, 1), log)
         return peak
 
+    def peak_optimized_order(self):
+        """Compute a traversal order minimizing peak concurrent memory.
+
+        Mirrors the reference's exchange rule
+        (``reorder_for_peak_size``, core.py:1170-1187) — at each node,
+        evaluate first the child whose depth-first peak exceeds its held
+        size by more — but returns a rank callable for :meth:`traverse`
+        / :meth:`peak_size` / lowering instead of mutating child order
+        (the executor's pair lowering is sensitive to left/right
+        placement, so child tuples stay untouched).
+
+        Returns ``None`` when the realized depth-first schedule does not
+        actually beat the default extent order's peak (the default may
+        interleave subtrees, which no depth-first order can express) —
+        callers then keep the default schedule.
+        """
+        peak = {}
+        first_right = {}
+        for p, l, r in self.traverse():
+            sl, sr = self.get_size(l), self.get_size(r)
+            pl, pr = peak.get(l, sl), peak.get(r, sr)
+            hold = sl + sr + self.get_size(p)
+            plr = max(pl, sl + pr, hold)  # evaluate l before r
+            prl = max(pr, sr + pl, hold)  # evaluate r before l
+            first_right[p] = prl < plr
+            peak[p] = min(plr, prl)
+        # realize the chosen depth-first schedule as post-order ranks
+        rank = {}
+        stack = [(self.root, False)]
+        while stack:
+            node, emit = stack.pop()
+            if emit:
+                rank[node] = len(rank)
+                continue
+            if node not in self.children:
+                continue
+            l, r = self.children[node]
+            stack.append((node, True))
+            # the first-evaluated child is pushed last so it pops first
+            if first_right[node]:
+                stack.extend(((l, False), (r, False)))
+            else:
+                stack.extend(((r, False), (l, False)))
+        order = rank.__getitem__
+        if self.peak_size(order=order) >= self.peak_size():
+            return None
+        return order
+
     def contraction_cost(self, log=None):
         return self.total_flops(dtype=None, log=log)
 

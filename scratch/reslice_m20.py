@@ -75,25 +75,70 @@ def main():
     )
     report("master t30 (not executable: peak > HBM)", master)
 
+    best_tta, best_tree, best_tag = bar_tta, None, None
+    best_env = {}
     for tgt in targets:
         t = master.copy()
         t.slice_and_reconfigure_(
             2**tgt, reconf_opts={"subtree_size": 6, "maxiter": maxiter}
         )
         tta = report(f"resliced t{tgt}", t)
+        if os.environ.get("RM20_SAVE_CAND"):
+            # save the raw reslice as a chip-trial candidate even when
+            # it violates the modelled peak ceiling - the 2^28.2 gate is
+            # a proxy calibrated on m=10-family plans; only the chip
+            # knows the real HBM verdict
+            out = f"/root/repo/plans/r5_m20_t{tgt}cand.json"
+            save_tree(
+                out, t,
+                log10_flops=t.total_flops(log=10),
+                planner=f"reslice_m20(from t30 master, t{tgt}, raw)",
+            )
+            print(f"  -> candidate saved {out}")
+        # first lever: reschedule, don't re-slice. The exchange-rule
+        # depth-first order can cut concurrent-live peak at zero cost
+        # in flops/slices (CTG_PEAK_ORDER=1 on the executor).
+        cb = t.peak_optimized_order()
+        if cb is not None:
+            po_peak = math.log2(max(t.peak_size(order=cb), 1))
+            print(f"  peak-order: peak 2^{po_peak:.2f} (default "
+                  f"2^{math.log2(max(t.peak_size(), 1)):.2f})")
+            if po_peak <= 28.2:
+                os.environ["CTG_PEAK_ORDER"] = "1"
+                tta_po = report(f"resliced t{tgt} PEAK-ORDER", t)
+                os.environ.pop("CTG_PEAK_ORDER")
+                if tta_po < best_tta:
+                    best_tta, best_tree = tta_po, t.copy()
+                    best_tag = f"t{tgt}+peakorder"
+                    best_env = {"CTG_PEAK_ORDER": "1"}
+                continue
+        # the executor ceiling binds on PEAK (concurrent-live), not
+        # max_size: keep slicing one index at a time with reconf repair
+        # until the peak fits, ranking each rung
+        step = 0
+        while math.log2(max(t.peak_size(), 1)) > 28.2 and step < 8:
+            t.slice_(target_slices=2, temperature=0.01)
+            t.subtree_reconfigure_(subtree_size=6, maxiter=maxiter)
+            step += 1
+            tta = report(f"resliced t{tgt}+peak{step}", t)
         peak = math.log2(max(t.peak_size(), 1))
         if peak > 28.2:
             print(f"  -> peak 2^{peak:.2f} > 2^28.2 ceiling; not saved")
             continue
-        if tta < bar_tta:
-            out = f"/root/repo/plans/sycamore53_m20_t{tgt}.json"
-            save_tree(
-                out, t,
-                log10_flops=t.total_flops(log=10),
-                target_log2=tgt,
-                planner="reslice_m20(from t30 master)",
-            )
-            print(f"  -> SAVED {out} (modelled {bar_tta / tta:.2f}x faster)")
+        if tta < best_tta:
+            best_tta, best_tree, best_tag = tta, t.copy(), f"t{tgt}"
+    if best_tree is not None:
+        out = "/root/repo/plans/sycamore53_m20_t28.json"
+        save_tree(
+            out, best_tree,
+            log10_flops=best_tree.total_flops(log=10),
+            planner=f"reslice_m20(from t30 master, {best_tag}, peak-sliced)",
+        )
+        print(
+            f"  -> SAVED {out} ({best_tag}, modelled "
+            f"{bar_tta / best_tta:.2f}x faster than committed t27; "
+            f"run with env {best_env})"
+        )
 
 
 if __name__ == "__main__":

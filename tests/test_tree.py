@@ -173,3 +173,52 @@ def test_single_input_tree():
     tree = ContractionTree(inputs, output, size_dict)
     assert tree.N == 1
     assert tree.is_complete()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_peak_optimized_order(seed):
+    """The exchange-rule order is a valid traversal of the same step set
+    whose simulated peak never exceeds the default order's (reference
+    ``reorder_for_peak_size``, core.py:1170-1187)."""
+    inputs, output, shapes, size_dict = ctg.rand_equation(
+        24, 3, d_min=2, d_max=4, seed=seed
+    )
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    cb = tree.peak_optimized_order()
+    if cb is None:
+        # default extent order already at least as good - valid outcome
+        return
+    steps = list(tree.traverse(order=cb))
+    # same contraction set, every rank distinct and topologically valid
+    assert sorted(p for p, _, _ in steps) == sorted(tree.children)
+    seen = set()
+    for p, l, r in steps:
+        for c in (l, r):
+            assert c.bit_count() == 1 or c in seen
+        seen.add(p)
+    assert tree.peak_size(order=cb) < tree.peak_size()
+
+
+def test_peak_order_execution_matches(monkeypatch):
+    """CTG_PEAK_ORDER=1 changes only the schedule, not the value."""
+    import numpy as np
+
+    inputs, output, shapes, size_dict = ctg.rand_equation(
+        14, 3, d_min=2, d_max=3, seed=7
+    )
+    arrays = [np.random.default_rng(i).normal(size=s) for i, s in
+              enumerate(shapes)]
+    tree = ctg.array_contract_tree(
+        inputs, output, size_dict=size_dict, optimize="greedy"
+    )
+    ref = tree.contract(arrays)
+    monkeypatch.setenv("CTG_PEAK_ORDER", "1")
+    from cotengra_tpu.ops.grouped import make_grouped_staged_contractor
+
+    fn = make_grouped_staged_contractor(tree, stage_size=8)
+    got = fn(*arrays)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-6
+    )
