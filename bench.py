@@ -122,12 +122,17 @@ def main():
     # intermediate-size target: m=10's official plan is UNSLICED (max
     # intermediate 2^28; chip-validated rc=0 — the unsliced program has
     # no scan batching, so the 2^28 scan-OOM does not apply) and a
-    # 2^29 target loads it verbatim. Deeper instances default to 2^27:
-    # 512 MB/plane maximizes arithmetic intensity within v5e HBM for
-    # scan-batched sliced programs. Fresh replans (no committed plan)
-    # inherit the target as their slicing goal.
+    # 2^29 target loads it verbatim. m=20's official plan targets 2^28
+    # (peak 2^29 chip-validated rc=0 at slice_batch=8: 386 ms/slice vs
+    # the previous t27 plan's 460 over the same 2^29 slices). Other
+    # depths default to 2^27: 512 MB/plane maximizes arithmetic
+    # intensity within v5e HBM for scan-batched sliced programs. Fresh
+    # replans (no committed plan) inherit the target as their slicing
+    # goal.
     target_size = 2 ** int(
-        os.environ.get("BENCH_TARGET_SIZE", "29" if m == 10 else "27")
+        os.environ.get(
+            "BENCH_TARGET_SIZE", {10: "29", 20: "28"}.get(m, "27")
+        )
     )
 
     # deep instances (m=20) need the expensive slicing-aware hyper
