@@ -262,8 +262,13 @@ def main():
         """
         nsl = tree.multiplicity
         sb = max(1, min(sb, nsl))
-        nbench = min(nsl, max(sb, 16))
-        nbench = (nbench // sb) * sb
+        # BENCH_SLICES overrides the measured slice count (e.g. to
+        # match a refamp sidecar whose deep-plan CPU-f64 reference only
+        # covers the first 8 slices); still a slice-batch multiple
+        nbench = int(
+            os.environ.get("BENCH_SLICES", "0")
+        ) or min(nsl, max(sb, 16))
+        nbench = max(sb, (min(nsl, nbench) // sb) * sb)
         print(
             f"# staged grouped compile ({ss} steps/stage, fuse={fg}, "
             f"split+plane_io, slice_batch={sb}, mode={mode}, gate={gm})",

@@ -59,6 +59,27 @@ def main():
         {n for n in (4, 8, 16, 32) if n <= min(nsl, cap)}
         | {min(nsl, cap)}
     )
+    out = plan_file[:-5] + ".refamp.json"
+
+    def dump(amps):
+        # write after every completed n so a long deep-plan run yields
+        # a usable sidecar as soon as the smallest n finishes
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "instance": f"sycamore53_m{m}_seed42_absorb2",
+                    "dtype": "complex128",
+                    "note": (
+                        "partial amplitude over the plan's first-n"
+                        " slices"
+                    ),
+                    "amps": amps,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out} (n={max(amps, key=int)})")
+
     amps = {}
     acc = 0.0 + 0.0j
     done = 0
@@ -72,20 +93,7 @@ def main():
         done = n
         amps[str(n)] = [acc.real, acc.imag]
         print(f"n={n}: {acc:.6e}")
-
-    out = plan_file[:-5] + ".refamp.json"
-    with open(out, "w") as f:
-        json.dump(
-            {
-                "instance": f"sycamore53_m{m}_seed42_absorb2",
-                "dtype": "complex128",
-                "note": "partial amplitude over the plan's first-n slices",
-                "amps": amps,
-            },
-            f,
-            indent=1,
-        )
-    print(f"wrote {out}")
+        dump(amps)
 
 
 if __name__ == "__main__":
